@@ -1,0 +1,332 @@
+"""The R-Super Ball Loss, static-shape TPU edition.
+
+Reference: ``rsuper_train/training/losses_foundation.py:1537-1864``
+(``ball_loss``) and ``:1387-1532`` (``isolate_tumor``).
+
+The reference's algorithm, per batch item and per reported tumor (largest
+first):
+  1. convolve the sigmoid output (restricted to the reported organ
+     sub-segment) with a Gaussian-filled ball the size of the reported
+     diameter; the argmax locates the best-fitting ball centre;
+  2. paste a binary ball of diameter·(1+margin) there (grown if clipped by the
+     crop border until it can hold the reported volume);
+  3. keep the top-N voxels by confidence inside that ball (N = reported
+     volume, with small/big variants at ∓/± the volume margin) as a binary
+     pseudo-mask, then erase the found tumor and repeat for the next one;
+  4. supervise with BCE toward the union pseudo-mask — foreground voxels
+     weighted by hard-cutoff GWRP, background averaged separately — with a
+     border ring (big mask dilated by 7, minus the small mask) excluded; plus
+     an optional adaptive-Tversky Dice term. Items with no reported tumor get
+     BCE toward zero over the penalisable region.
+
+TPU-first redesign (every shape static, no data-dependent python control flow):
+* batch items run under ``lax.map`` so the no-tumor branch is a real
+  ``lax.cond`` skip (mask-only items pay nothing for ball machinery);
+* the per-tumor loop is a ``lax.scan`` over ``T`` zero-padded tumor slots with
+  validity predicates;
+* the ball convolution runs in the FFT domain (`ops.balls.fft_ball_conv`) —
+  cost independent of the reported diameter;
+* dynamic top-k becomes threshold-selection by bisection (`ops.selection`),
+  the three volume variants (N, N_small, N_big) share one vmapped bisection;
+* the "grow the ball while it is clipped by the border" while-loop becomes a
+  bounded ``lax.while_loop`` on scalar state;
+* GWRP foreground weights use threshold-count ranking (`ops.gwrp`).
+
+The pseudo-masks are pure supervision targets: the whole construction is
+wrapped in ``stop_gradient`` (the reference never backprops through topk
+indices either — gradients flow only through the BCE/Dice on the raw logits).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.balls import ball_kernel_wrapped, fft_ball_conv, insert_ball, odd_ceil
+from ..ops.gwrp import gwrp_weights_binned
+from ..ops.morphology import dilate
+from ..ops.selection import topn_mask
+from .lesions import LesionChannelMap
+from .seg import adaptive_tversky_dice, bce_with_logits
+
+_SPATIAL3 = (0, 1, 2)
+
+
+class BallLossConfig(NamedTuple):
+    """Static hyper-parameters (reference defaults, ``losses_foundation.py:1537-1542``
+    and the CLI default ``--ball_volume_margin 0.2`` at ``train_ddp.py:464``)."""
+
+    diameter_margin: float = 0.2
+    volume_margin: float = 0.2
+    gaussian: bool = True
+    gaussian_std: float = 1.5
+    gwrp: bool = True
+    gwrp_concentration: float = 0.5
+    dilation_for_background: int = 7
+    subseg_dilation: int = 31
+    unk_dilation: int = 1
+    standard_ce: bool = False
+    use_small_pseudo_mask: bool = True
+    apply_dice_loss: bool = False
+    max_diameter: int = 96  # static bound on reported diameters (voxels)
+    grow_iters: int = 12  # bound for the border-growth loop
+    topn_iters: int = 26  # bisection depth for top-N selection
+    gwrp_levels: int = 256  # rank resolution for GWRP weights
+
+
+def _ball_voxel_count(shape, diameter):
+    """Number of voxels in the discrete ball of (traced) `diameter` — the
+    reference's ``(kernel > 0).sum()`` (``losses_foundation.py:1431``)."""
+    return jnp.sum(ball_kernel_wrapped(shape, diameter))
+
+
+def isolate_tumor(x, diameter, volume, cfg: BallLossConfig):
+    """Locate one tumor and build its (normal, small, big) binary pseudo-masks.
+
+    Static-shape equivalent of ``isolate_tumor`` (``losses_foundation.py:1387-1532``).
+    `x`: (D, H, W), non-negative (sigmoid output × organ segment).
+    `diameter`, `volume`: traced scalars (already clamped by the caller).
+    Returns (mask, mask_small, mask_big), each (D, H, W) float32 in {0,1}.
+    """
+    shape = x.shape
+    V = x.size
+    diameter = jnp.asarray(diameter, jnp.float32)
+    volume = jnp.round(jnp.asarray(volume, jnp.float32))
+
+    # Reference quirk kept for parity (losses_foundation.py:1431-1433): the
+    # selected volume is raised to (ball voxel count - 1) whenever the
+    # conv-ball holds more voxels than the reported volume, so the pseudo-mask
+    # is never much smaller than the ball of the reported diameter.
+    ballcount = _ball_voxel_count(shape, diameter)
+    volume = jnp.where(ballcount > volume, ballcount - 1.0, volume)
+
+    # -- 1. ball convolution + argmax -> best centre --------------------------
+    conv = fft_ball_conv(
+        x,
+        diameter,
+        gaussian=cfg.gaussian,
+        gaussian_std=cfg.gaussian_std,
+        max_diameter=cfg.max_diameter,
+    )
+    flat_idx = jnp.argmax(conv)
+    cz = flat_idx // (shape[1] * shape[2])
+    cy = (flat_idx // shape[2]) % shape[1]
+    cx = flat_idx % shape[2]
+    center = (cz, cy, cx)
+
+    # -- 2. insertion ball, grown while clipped by the border -----------------
+    def grown_diameter():
+        def cond(state):
+            d, it = state
+            ball = insert_ball(shape, center, d * (1.0 + cfg.diameter_margin))
+            too_small = jnp.sum(ball) < volume
+            not_huge = d < jnp.float32(max(shape))
+            return too_small & not_huge & (it < cfg.grow_iters)
+
+        def body(state):
+            d, it = state
+            d_new = jnp.maximum(jnp.round(d * 1.1), d + 1.0)
+            return d_new, it + 1
+
+        d, _ = lax.while_loop(cond, body, (diameter, jnp.int32(0)))
+        return d
+
+    d_ins = grown_diameter()
+    ball = insert_ball(shape, center, d_ins * (1.0 + cfg.diameter_margin))
+
+    # -- 3. top-N selection inside the ball -----------------------------------
+    masked_x = x * ball
+    t = jnp.minimum(jnp.float32(V - 1), volume)
+    margin_small = min(0.5, cfg.volume_margin)
+    t_small = jnp.maximum(
+        jnp.round(t * (1.0 - margin_small)), jnp.minimum(100.0, volume)
+    )
+    t_big = jnp.minimum(
+        jnp.float32(V - 1), jnp.round(volume * (1.0 + cfg.volume_margin))
+    )
+    ns = jnp.stack([t, t_small, t_big])
+    masks = jax.vmap(lambda n: topn_mask(masked_x, n, iters=cfg.topn_iters))(ns)
+    masks = masks * ball[None]
+
+    # -- 4. dilation fallback when too few positive voxels existed ------------
+    # (reference :1512-1522: for small tumors, grow the selection if the ball
+    # was mostly outside the organ segment.)
+    def fb_cond(state):
+        m, it = state
+        small_tumor = volume < jnp.float32(50**3)
+        return small_tumor & (jnp.sum(m[0]) < 0.7 * volume) & (it < 6)
+
+    def fb_body(state):
+        m, it = state
+        # (3, D, H, W) -> channels-last for the depthwise dilation, and back
+        m = jnp.moveaxis(dilate(jnp.moveaxis(m, 0, -1), 7), -1, 0)
+        return m * ball[None], it + 1
+
+    masks, _ = lax.while_loop(fb_cond, fb_body, (masks, jnp.int32(0)))
+    return masks[0], masks[1], masks[2]
+
+
+def _tumor_branch(x_logits, tumor_seg, penalize, volumes, diameters, cfg, c_weight):
+    """Ball-loss for one batch item that has reported tumors.
+
+    x_logits: (D, H, W) logits of the active lesion channel.
+    tumor_seg: (D, H, W) dilated organ sub-segment.
+    penalize:  (D, H, W) penalisable region for the active channel.
+    volumes: (T,), diameters: (T, 3).
+    """
+    x_act = jax.nn.sigmoid(x_logits.astype(jnp.float32)) * tumor_seg
+
+    # sort tumor slots by volume, descending (reference :1678-1681)
+    order = jnp.argsort(-volumes)
+    volumes = volumes[order]
+    diameters = diameters[order]
+    max_dias = jnp.max(diameters, axis=-1)
+
+    # reference clamps (:1706-1710): diameter <= 1 -> 3, volume <= 1 -> 9
+    max_dias = jnp.where(max_dias <= 1.0, 3.0, max_dias)
+    vols = jnp.where(volumes <= 1.0, 9.0, volumes)
+    valid = volumes > 0
+
+    def scan_body(carry, slot):
+        x_iter = carry
+        vol, dia, ok = slot
+
+        def do(x_iter):
+            m, ms, mb = isolate_tumor(x_iter, dia, vol, cfg)
+            return x_iter * (1.0 - m), (m, ms, mb)
+
+        def skip(x_iter):
+            z = jnp.zeros_like(x_iter)
+            return x_iter, (z, z, z)
+
+        return lax.cond(ok, do, skip, x_iter)
+
+    _, (m_all, m_small_all, m_big_all) = lax.scan(
+        scan_body, x_act, (vols, max_dias, valid)
+    )
+
+    union = lambda m: (jnp.sum(m, axis=0) > 0).astype(jnp.float32)
+    pseudo = union(m_small_all if cfg.use_small_pseudo_mask else m_all)
+    big = union(m_big_all)
+    if cfg.dilation_for_background > 0:
+        big = dilate(big, cfg.dilation_for_background)
+    border = jnp.clip(big - pseudo, 0.0, 1.0)
+    penalize = penalize * (1.0 - border)
+
+    pseudo = lax.stop_gradient(pseudo)
+    big = lax.stop_gradient(big)
+    penalize = lax.stop_gradient(penalize)
+
+    bce = bce_with_logits(x_logits, pseudo) * penalize
+
+    if cfg.standard_ce:
+        loss_bce = jnp.mean(bce * c_weight)
+    else:
+        if cfg.gwrp:
+            n_fg = jnp.sum(pseudo)
+            boosted = jax.nn.sigmoid(x_logits.astype(jnp.float32)) * pseudo + pseudo
+            w = gwrp_weights_binned(
+                boosted, jnp.maximum(n_fg, 1.0), cfg.gwrp_concentration,
+                levels=cfg.gwrp_levels,
+            )
+            w = lax.stop_gradient(w * n_fg * pseudo)
+            loss_fg = jnp.mean(bce * w)
+        else:
+            loss_fg = jnp.mean(bce * pseudo)
+        loss_bg = jnp.mean(bce * (1.0 - big))
+        loss_bce = (loss_fg + loss_bg) * c_weight
+
+    dice = adaptive_tversky_dice(
+        x_logits[None, ..., None],
+        pseudo[None, ..., None],
+        penalize[None, ..., None],
+        sigmoid=True,
+    )
+    return loss_bce, dice * c_weight
+
+
+def _no_tumor_branch(out_logits, to_penalize, cw_lesion):
+    """BCE toward zero over the penalisable region for all lesion channels
+    (reference :1624-1661). out_logits/to_penalize: (D, H, W, L); cw: (L,)."""
+    bce = bce_with_logits(out_logits, jnp.zeros_like(out_logits)) * to_penalize
+    loss = jnp.mean(bce * cw_lesion)
+    dice = adaptive_tversky_dice(
+        out_logits[None],
+        jnp.zeros_like(out_logits)[None],
+        to_penalize[None],
+        sigmoid=True,
+        class_weights=cw_lesion[None],
+    )
+    return loss, dice
+
+
+def ball_loss(
+    logits,
+    labels,
+    unk_voxels,
+    chosen_segment_mask,
+    tumor_volumes,
+    tumor_diameters,
+    lmap: LesionChannelMap,
+    cfg: BallLossConfig = BallLossConfig(),
+    class_weights: Optional[jnp.ndarray] = None,
+):
+    """R-Super Ball Loss over a batch (``ball_loss``, ``losses_foundation.py:1537``).
+
+    Args (channels-last):
+      logits, labels, unk_voxels, chosen_segment_mask: (B, D, H, W, C).
+      tumor_volumes: (B, T) voxels; tumor_diameters: (B, T, 3) mm (= voxels at
+        1 mm³ spacing); zero-padded slots.
+      class_weights: optional (B, C).
+
+    Returns dict {'ball_loss_bce', 'ball_loss_dice'} of scalars.
+    """
+    out = lmap.merge(logits)  # (B, D, H, W, L)
+    seg = dilate(lmap.merge(chosen_segment_mask).astype(jnp.float32), cfg.subseg_dilation)
+    unk = dilate(lmap.merge(unk_voxels).astype(jnp.float32), cfg.unk_dilation)
+    lab = lmap.merge(labels).astype(jnp.float32)
+
+    to_penalize = (
+        (1.0 - unk) * (1.0 - lab) + seg > 0
+    ).astype(jnp.float32)  # (B, D, H, W, L)
+
+    if class_weights is not None:
+        cw = lmap.merge(class_weights.astype(jnp.float32))  # (B, L)
+    else:
+        cw = jnp.ones(out.shape[:1] + out.shape[-1:], jnp.float32)
+
+    gate = jnp.sum(seg, axis=(1, 2, 3)) > 0  # (B, L)
+    active = jnp.argmax(gate, axis=-1)  # (B,)
+    has_tumor = jnp.any(gate, axis=-1) & (
+        jnp.sum(tumor_volumes, axis=-1) > 0
+    )  # (B,)
+
+    def per_item(item):
+        (out_b, seg_b, pen_b, cw_b, act, has, vols, dias) = item
+
+        def tumor(_):
+            onehot = jax.nn.one_hot(act, out_b.shape[-1], dtype=jnp.float32)
+            x = jnp.einsum("dhwl,l->dhw", out_b, onehot)
+            pen = jnp.einsum("dhwl,l->dhw", pen_b, onehot)
+            tumor_seg = jnp.sum(seg_b, axis=-1)  # only active channel nonzero
+            c_weight = jnp.sum(cw_b * onehot)
+            return _tumor_branch(x, tumor_seg, pen, vols, dias, cfg, c_weight)
+
+        def no_tumor(_):
+            return _no_tumor_branch(out_b, pen_b, cw_b)
+
+        return lax.cond(has, tumor, no_tumor, None)
+
+    losses_bce, losses_dice = lax.map(
+        per_item,
+        (out, seg, to_penalize, cw, active, has_tumor, tumor_volumes, tumor_diameters),
+    )
+    out_losses = {"ball_loss_bce": jnp.mean(losses_bce)}
+    if cfg.apply_dice_loss:
+        out_losses["ball_loss_dice"] = jnp.mean(losses_dice)
+    else:
+        out_losses["ball_loss_dice"] = jnp.zeros(())
+    return out_losses

@@ -1,0 +1,118 @@
+"""Binary morphology on 3D volumes, TPU-native.
+
+The reference dilates binary masks by convolving with ball kernels and
+thresholding (``rsuper_train/training/losses_foundation.py:22-99``
+``dilate_volume`` / ``dilate_volume_conv``), decomposing large radii into
+repeated radius-3 passes to keep cuDNN kernels small.
+
+TPU-first redesign
+------------------
+* Small kernels (<= 9) run as a direct depthwise XLA convolution in NDHWC —
+  exactly the reference's single-pass ball.
+* Large kernels run as ONE exact Euclidean-ball dilation in the FFT domain
+  (count > 0.5 threshold) — a deliberate improvement over the reference's
+  repeated-pass decomposition, which only approximates a ball (Minkowski sum
+  of small discrete balls). One pass, exact sphere, cost independent of
+  radius.
+
+Layout: channels-last. Accepts (D,H,W), (B,D,H,W,C) or any (..., D,H,W,C);
+for rank >= 4 the last axis is treated as channels and the three before it as
+spatial. Dilation applies per-channel (no cross-channel mixing), matching the
+reference's ``groups=C`` conv (``losses_foundation.py:87``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .balls import ball_kernel, ball_kernel_wrapped, good_fft_size
+
+
+def binary_union(*masks):
+    """Elementwise OR over binary float masks, returned as float."""
+    acc = masks[0]
+    for m in masks[1:]:
+        acc = acc + m
+    return (acc > 0).astype(masks[0].dtype)
+
+
+def _as_ndhwc(x):
+    """Normalise input to (N, D, H, W, C); return array + restore function."""
+    if x.ndim == 3:  # (D, H, W)
+        arr = x[None, ..., None]
+        return arr, lambda y: y[0, ..., 0]
+    if x.ndim == 4:  # (D, H, W, C)
+        arr = x[None]
+        return arr, lambda y: y[0]
+    if x.ndim == 5:
+        return x, lambda y: y
+    lead = x.shape[:-4]
+    arr = x.reshape((-1,) + x.shape[-4:])
+    return arr, lambda y: y.reshape(lead + y.shape[1:])
+
+
+def _dilate_direct(x, kernel_size: int):
+    """Single-pass ball dilation via depthwise NDHWC conv (small kernels)."""
+    kern3 = ball_kernel(kernel_size)  # (k, k, k), binary; radius k_odd/2
+    k = kern3.shape[0]
+    c = x.shape[-1]
+    # Depthwise: one spatial kernel replicated per channel.
+    kern = jnp.broadcast_to(kern3[..., None, None], (k, k, k, 1, c))
+    out = lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        kern.astype(jnp.float32),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=c,
+    )
+    return (out > 0.5).astype(x.dtype)
+
+
+def _dilate_fft(x, kernel_size: int):
+    """Single-pass exact ball dilation in the FFT domain (large kernels)."""
+    spatial = x.shape[1:4]
+    radius = kernel_size // 2 + 1
+    P = tuple(good_fft_size(s + radius) for s in spatial)
+    kern = ball_kernel_wrapped(P, kernel_size)
+    Kf = jnp.fft.rfftn(kern)
+
+    def one(vol):  # vol: (D, H, W)
+        pad = (
+            jnp.zeros(P, jnp.float32)
+            .at[: spatial[0], : spatial[1], : spatial[2]]
+            .set(vol.astype(jnp.float32))
+        )
+        cnt = jnp.fft.irfftn(jnp.fft.rfftn(pad) * Kf, s=P)
+        return cnt[: spatial[0], : spatial[1], : spatial[2]]
+
+    # vmap over batch and channel (both map cleanly onto batched FFTs).
+    cnt = jax.vmap(jax.vmap(one, in_axes=-1, out_axes=-1))(x)
+    return (cnt > 0.5).astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("kernel_size", "method"))
+def dilate(x, kernel_size: int, method: str = "auto"):
+    """Binary dilation of `x` by a Euclidean ball of radius ``odd(kernel_size)/2``.
+
+    Equivalent of the reference's ``dilate_volume`` (``losses_foundation.py:22``)
+    with exact single-pass semantics (see module docstring). `kernel_size` is
+    static (python int). Values must be binary {0, 1}; output is binary in the
+    input dtype.
+    """
+    if kernel_size % 2 == 0:
+        kernel_size += 1
+    if kernel_size <= 1:
+        return x
+    arr, restore = _as_ndhwc(x)
+    if method == "direct" or (method == "auto" and kernel_size <= 9):
+        out = _dilate_direct(arr, kernel_size)
+    elif method in ("fft", "auto"):
+        out = _dilate_fft(arr, kernel_size)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return restore(out)

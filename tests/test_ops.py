@@ -1,0 +1,208 @@
+"""Golden tests for the core ball/morphology/selection/GWRP ops.
+
+These encode the invariants the reference enforces at runtime or via its
+synthetic harnesses (SURVEY.md §4: ``apply_ball_convolution_and_save``,
+``generate_input_and_process_volume``, pseudo-mask volume tolerances).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.ndimage as ndi
+import pytest
+
+from rsuper_tpu.ops import (
+    ball_kernel,
+    fft_ball_conv,
+    dilate,
+    topn_mask,
+    gwrp_pool,
+    gwrp_weights,
+    odd_ceil,
+    good_fft_size,
+)
+from rsuper_tpu.ops.balls import insert_ball, reference_kernel_size
+from rsuper_tpu.ops.gwrp import gwrp_weights_exact, gwrp_weights_binned
+
+
+# ---------------------------------------------------------------- ball kernels
+def test_odd_ceil():
+    assert odd_ceil(7) == 7
+    assert odd_ceil(7.1) == 9
+    assert odd_ceil(8) == 9
+    assert float(odd_ceil(jnp.float32(8.0))) == 9.0
+
+
+def test_ball_kernel_matches_reference_geometry():
+    # d=7 -> d_odd=7, box = odd(ceil(8.4)) = 9, radius 3.5
+    k = np.asarray(ball_kernel(7))
+    assert k.shape == (9, 9, 9)
+    c = 4
+    assert k[c, c, c] == 1
+    # offset (3,1,1): dist = sqrt(11) ~ 3.317 <= 3.5 -> inside
+    assert k[c + 3, c + 1, c + 1] == 1
+    # offset (3,2,0): dist = sqrt(13) ~ 3.606 > 3.5 -> outside
+    assert k[c + 3, c + 2, c] == 0
+    # symmetric
+    assert np.array_equal(k, k[::-1]) and np.array_equal(k, k.transpose(2, 1, 0))
+
+
+def test_gaussian_ball_kernel_normalized_and_peaked():
+    k = np.asarray(ball_kernel(11, gaussian=True, gaussian_std=1.5))
+    assert abs(k.sum() - 1.0) < 1e-5
+    assert k.max() == k[k.shape[0] // 2, k.shape[1] // 2, k.shape[2] // 2]
+    assert (k >= 0).all()
+
+
+def test_good_fft_size():
+    assert good_fft_size(128) == 128
+    assert good_fft_size(129) == 135
+    assert good_fft_size(208) == 210
+
+
+# ------------------------------------------------------------------- FFT conv
+def test_fft_ball_conv_matches_direct():
+    rng = np.random.default_rng(0)
+    x = rng.random((24, 20, 28)).astype(np.float32)
+    for d, gaussian in [(5, False), (9, True), (15, False)]:
+        k = np.asarray(ball_kernel(d, gaussian=gaussian))
+        want = ndi.convolve(x, k, mode="constant")
+        got = np.asarray(
+            fft_ball_conv(jnp.asarray(x), d, gaussian=gaussian, max_diameter=16)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
+def test_fft_ball_conv_centering():
+    # Reference harness apply_ball_convolution_and_save: a centred cube stays
+    # centred under ball convolution (losses_foundation.py:1896-1955).
+    x = np.zeros((48, 48, 48), np.float32)
+    x[20:29, 20:29, 20:29] = 1.0
+    out = np.asarray(fft_ball_conv(jnp.asarray(x), 11, gaussian=True, max_diameter=16))
+    com = ndi.center_of_mass(out)
+    assert np.allclose(com, (24, 24, 24), atol=0.05)
+    assert np.unravel_index(out.argmax(), out.shape) == (24, 24, 24)
+
+
+def test_fft_ball_conv_no_wraparound():
+    # Mass at one corner must not leak to the opposite corner.
+    x = np.zeros((32, 32, 32), np.float32)
+    x[0, 0, 0] = 1.0
+    out = np.asarray(fft_ball_conv(jnp.asarray(x), 9, max_diameter=16))
+    assert out[-1, -1, -1] == pytest.approx(0.0, abs=1e-3)
+    assert out[0, 0, 0] == pytest.approx(1.0, abs=1e-3)
+
+
+# ------------------------------------------------------------------- dilation
+def _scipy_ball(k):
+    return np.asarray(ball_kernel(k)) > 0
+
+
+@pytest.mark.parametrize("ks", [3, 5, 7, 13])
+def test_dilate_matches_scipy(ks):
+    rng = np.random.default_rng(1)
+    x = (rng.random((20, 22, 18)) > 0.97).astype(np.float32)
+    want = ndi.binary_dilation(x > 0, structure=_scipy_ball(ks)).astype(np.float32)
+    got = np.asarray(dilate(jnp.asarray(x), ks))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dilate_channelwise_no_mixing():
+    x = np.zeros((10, 10, 10, 2), np.float32)
+    x[5, 5, 5, 0] = 1.0
+    out = np.asarray(dilate(jnp.asarray(x), 3))
+    assert out[..., 1].sum() == 0
+    assert out[..., 0].sum() > 1
+
+
+def test_dilate_kernel1_identity():
+    x = (np.random.default_rng(2).random((8, 8, 8)) > 0.5).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(dilate(jnp.asarray(x), 1)), x)
+
+
+def test_dilate_fft_matches_direct():
+    rng = np.random.default_rng(3)
+    x = (rng.random((24, 24, 24)) > 0.98).astype(np.float32)
+    a = np.asarray(dilate(jnp.asarray(x), 13, method="direct"))
+    b = np.asarray(dilate(jnp.asarray(x), 13, method="fft"))
+    np.testing.assert_array_equal(a, b)
+
+
+# ------------------------------------------------------------------ selection
+def test_topn_mask_counts():
+    rng = np.random.default_rng(4)
+    x = rng.random((32, 32, 32)).astype(np.float32)
+    for n in [10, 500, 5000]:
+        m = np.asarray(topn_mask(jnp.asarray(x), n))
+        assert abs(m.sum() - n) <= max(2, 0.01 * n)
+        # selected entries are all >= every unselected entry
+        assert x[m > 0].min() >= x[m == 0].max() - 1e-6
+
+
+def test_topn_mask_excludes_zeros():
+    x = np.zeros((16, 16, 16), np.float32)
+    x[0, 0, :5] = [0.9, 0.8, 0.7, 0.6, 0.5]
+    m = np.asarray(topn_mask(jnp.asarray(x), 3))
+    assert m.sum() == 3
+    assert m[0, 0, :3].all()
+    # n greater than positive count -> all positives, no zeros
+    m = np.asarray(topn_mask(jnp.asarray(x), 1000))
+    assert m.sum() == 5
+
+
+def test_insert_ball_matches_volume():
+    m = np.asarray(insert_ball((40, 40, 40), tuple(jnp.asarray(c) for c in (20, 20, 20)), 11))
+    k = np.asarray(ball_kernel(11))
+    assert m.sum() == k.sum()
+    # clipped at border
+    m2 = np.asarray(insert_ball((40, 40, 40), tuple(jnp.asarray(c) for c in (0, 0, 0)), 11))
+    assert 0 < m2.sum() < m.sum()
+
+
+def test_reference_kernel_size():
+    assert reference_kernel_size(7) == 9  # ceil(1.2*7)=9
+    assert reference_kernel_size(15) == 19  # ceil(1.2*15)=18 -> 19
+
+
+# ----------------------------------------------------------------------- GWRP
+def test_gwrp_pool_uniform_input():
+    x = jnp.ones((8, 8, 8))
+    assert float(gwrp_pool(x, n=50, c=0.75)) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_gwrp_weights_exact_properties():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((10, 10, 10)).astype(np.float32))
+    n = 100
+    w = np.asarray(gwrp_weights_exact(x, n, c=0.5))
+    assert w.sum() == pytest.approx(1.0, rel=1e-5)
+    assert (w > 0).sum() == n  # hard cutoff
+    xf = np.asarray(x).ravel()
+    wf = w.ravel()
+    # weights are monotone non-increasing in value rank
+    order = np.argsort(-xf)
+    ws = wf[order]
+    assert (np.diff(ws[:n]) <= 1e-9).all()
+    # top-n weights hold c of the *raw* (unnormalised) geometric mass:
+    # after hard cutoff + renorm the sum is 1 by construction; check decay d
+    d = (1 - 0.5) ** (1.0 / n)
+    assert ws[0] / ws[n - 1] == pytest.approx(d ** -(n - 1), rel=1e-3)
+
+
+def test_gwrp_weights_binned_close_to_exact():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.random((12, 12, 12)).astype(np.float32))
+    n = 200
+    we = np.asarray(gwrp_weights_exact(x, n, c=0.5))
+    wb = np.asarray(gwrp_weights_binned(x, n, c=0.5, levels=4096))
+    assert wb.sum() == pytest.approx(1.0, rel=1e-4)
+    # same support up to bin-tie resolution and close total-variation distance
+    assert np.abs(we - wb).sum() < 0.05
+
+
+def test_gwrp_weights_binned_zero_excluded():
+    x = np.zeros((8, 8, 8), np.float32)
+    x[0, 0, :4] = [0.4, 0.3, 0.2, 0.1]
+    w = np.asarray(gwrp_weights(jnp.asarray(x), 2, c=0.5, method="binned"))
+    assert (w.ravel()[4:] == 0).all()
+    assert (w[0, 0, :2] > 0).all()
+    assert w[0, 0, 3] == 0
