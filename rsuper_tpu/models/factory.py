@@ -1,0 +1,77 @@
+"""Model factory: build a model by architecture name.
+
+Equivalent of the reference's ``rsuper_train/model/utils.py:11`` ``get_model``
+dispatch. All models return the output-dict contract
+``{'segmentation': logits | [logits, aux], ...}`` with channels-last inputs
+``(B, D, H, W, 1)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+from .medformer import MedFormer
+from .unet3d import UNet3D
+
+
+def _unet(args: Dict[str, Any], num_classes: int, dtype):
+    return UNet3D(
+        num_classes=num_classes,
+        base_chan=args.get("base_chan", 32),
+        block=args.get("block", "ConvNormAct"),
+        pool=args.get("pool", False),
+        norm=args.get("norm", "in"),
+        aux_head=args.get("aux_head", False),
+        dtype=dtype,
+    )
+
+
+def _resunet(args, num_classes, dtype):
+    args = dict(args)
+    args.setdefault("block", "BasicBlock")
+    return _unet(args, num_classes, dtype)
+
+
+def _medformer(args, num_classes, dtype):
+    return MedFormer(
+        num_classes=num_classes,
+        base_chan=args.get("base_chan", 32),
+        map_size=tuple(args.get("map_size", (3, 3, 3))),
+        conv_block=args.get("conv_block", "BasicBlock"),
+        conv_num=tuple(args.get("conv_num", (2, 0, 0, 0, 0, 0, 2, 2))),
+        trans_num=tuple(args.get("trans_num", (0, 2, 4, 6, 4, 2, 0, 0))),
+        chan_num=tuple(args.get("chan_num", (64, 128, 256, 320, 256, 128, 64, 32))),
+        num_heads=tuple(args.get("num_heads", (1, 4, 8, 10, 8, 4, 1, 1))),
+        fusion_depth=args.get("fusion_depth", 2),
+        fusion_dim=args.get("fusion_dim", 320),
+        fusion_heads=args.get("fusion_heads", 10),
+        expansion=args.get("expansion", 4),
+        proj_type=args.get("proj_type", "depthwise"),
+        norm=args.get("norm", "in"),
+        act=args.get("act", "relu"),
+        aux_loss=args.get("aux_loss", True),
+        classification_classes=args.get("classification_classes", 0),
+        clip_branch=args.get("clip_branch", False),
+        clip_feats=args.get("clip_feats", 768),
+        dtype=dtype,
+    )
+
+
+MODEL_REGISTRY = {
+    "unet": _unet,
+    "resunet": _resunet,
+    "medformer": _medformer,
+}
+
+
+def get_model(arch: str, num_classes: int, args: Dict[str, Any] | None = None,
+              dtype=jnp.bfloat16):
+    """Build a model. `args` holds architecture hyper-parameters (typically
+    the parsed YAML config, see `rsuper_tpu.config`)."""
+    if arch not in MODEL_REGISTRY:
+        raise ValueError(
+            f"unknown arch {arch!r}; available: {sorted(MODEL_REGISTRY)}"
+        )
+    return MODEL_REGISTRY[arch](args or {}, num_classes, dtype)

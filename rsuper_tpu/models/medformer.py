@@ -1,0 +1,488 @@
+"""MedFormer 3D — the R-Super flagship model — in flax.linen, channels-last.
+
+Functional equivalent of the reference's hybrid CNN-transformer U-Net
+(``rsuper_train/model/dim3/medformer.py:81`` + ``medformer_utils.py``): a conv
+stem, three encoder stages with **bidirectional attention** between feature
+tokens and a tiny pooled *semantic map* (3x3x3 = 27 tokens), cross-scale
+semantic-map fusion, and a decoder with map shortcuts plus deep supervision.
+
+TPU-first notes
+---------------
+* Channels-last everywhere; the attention is (L_feat × 27) — skinny matmuls
+  that XLA fuses well; no flash attention needed at these sequence lengths.
+* The head split uses the standard (heads, dim_head) channel factorisation
+  (the reference uses a transposed (dim_head, heads) view — an equivalent
+  re-parameterisation of the learned projections).
+* Upsampling is XLA-native trilinear (half-pixel centers; see
+  ``layers.resize_trilinear``).
+* Deep supervision head: 1x1x1 conv on the second decoder stage, upsampled to
+  input size (reference ``medformer.py:191-195``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import (
+    BLOCKS,
+    ConvNormAct,
+    DepthwiseSeparableConv,
+    MBConv,
+    FusedMBConv,
+    TransformerBlock,
+    instance_norm,
+    resize_trilinear,
+)
+
+Dtype = Any
+
+
+class SemanticMapGeneration(nn.Module):
+    """Pool a feature map into a (3, 3, 3, map_dim) semantic map via learned
+    spatial attention (reference ``medformer_utils.py:206-231``)."""
+
+    map_dim: int
+    map_size: Tuple[int, int, int] = (3, 3, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b = x.shape[0]
+        code = self.map_size[0] * self.map_size[1] * self.map_size[2]
+        feat = nn.Conv(self.map_dim, (3, 3, 3), padding="SAME", use_bias=False,
+                       dtype=self.dtype, param_dtype=jnp.float32)(x)
+        weight = nn.Conv(code, (3, 3, 3), padding="SAME", use_bias=False,
+                         dtype=self.dtype, param_dtype=jnp.float32)(x)
+        feat = feat.reshape(b, -1, self.map_dim)  # (B, S, map_dim)
+        weight = weight.reshape(b, -1, code)  # (B, S, code)
+        weight = jax.nn.softmax(weight.astype(jnp.float32), axis=1).astype(x.dtype)
+        sem = jnp.einsum("bsm,bsk->bkm", feat, weight)  # (B, code, map_dim)
+        return sem.reshape(b, *self.map_size, self.map_dim)
+
+
+class BidirectionAttention(nn.Module):
+    """Cross-attention in both directions between feature tokens and the 27
+    semantic-map tokens (reference ``medformer_utils.py:13-99``)."""
+
+    map_dim: int
+    out_dim: int
+    heads: int
+    dim_head: int
+    map_size: Tuple[int, int, int] = (3, 3, 3)
+    proj_type: str = "depthwise"
+    kernel_size: Any = 3
+    no_map_out: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, sem):
+        b, d, h, w, _ = feat.shape
+        inner = self.heads * self.dim_head
+
+        if self.proj_type == "depthwise":
+            feat_qv = DepthwiseSeparableConv(inner * 2, self.kernel_size,
+                                             dtype=self.dtype)(feat)
+        else:
+            feat_qv = nn.Conv(inner * 2, (1, 1, 1), use_bias=False,
+                              dtype=self.dtype, param_dtype=jnp.float32)(feat)
+        map_qv = nn.Conv(inner * 2, (1, 1, 1), use_bias=False,
+                         dtype=self.dtype, param_dtype=jnp.float32)(sem)
+
+        def tokens(t):
+            """(B, *, inner*2) -> q, v each (B, heads, L, dim_head)."""
+            t = t.reshape(b, -1, 2, self.heads, self.dim_head)
+            t = t.transpose(2, 0, 3, 1, 4)
+            return t[0], t[1]
+
+        feat_q, feat_v = tokens(feat_qv)
+        map_q, map_v = tokens(map_qv)
+
+        attn = jnp.einsum("bhid,bhjd->bhij", feat_q, map_q) * (self.dim_head**-0.5)
+        attn32 = attn.astype(jnp.float32)
+        feat_map_attn = jax.nn.softmax(attn32, axis=-1).astype(feat.dtype)
+        map_feat_attn = jax.nn.softmax(attn32, axis=-2).astype(feat.dtype)
+
+        feat_out = jnp.einsum("bhij,bhjd->bhid", feat_map_attn, map_v)
+        feat_out = feat_out.transpose(0, 2, 1, 3).reshape(b, d, h, w, inner)
+        map_out = jnp.einsum("bhji,bhjd->bhid", map_feat_attn, feat_v)
+        map_out = map_out.transpose(0, 2, 1, 3).reshape(b, *self.map_size, inner)
+
+        if self.proj_type == "depthwise":
+            feat_out = DepthwiseSeparableConv(self.out_dim, self.kernel_size,
+                                              dtype=self.dtype)(feat_out)
+        else:
+            feat_out = nn.Conv(self.out_dim, (1, 1, 1), use_bias=False,
+                               dtype=self.dtype, param_dtype=jnp.float32)(feat_out)
+        if not self.no_map_out:
+            map_out = nn.Conv(self.map_dim, (1, 1, 1), use_bias=False,
+                              dtype=self.dtype, param_dtype=jnp.float32)(map_out)
+        return feat_out, map_out
+
+
+class BidirectionAttentionBlock(nn.Module):
+    """norm → bidirectional attention → residual + MBConv feed-forward
+    (reference ``medformer_utils.py:104-140``)."""
+
+    map_dim: int
+    out_dim: int
+    heads: int
+    dim_head: int
+    expansion: int = 4
+    map_size: Tuple[int, int, int] = (3, 3, 3)
+    proj_type: str = "depthwise"
+    kernel_size: Any = 3
+    no_map_out: bool = False
+    norm: str = "in"
+    act: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, sem):
+        feat = instance_norm(x)
+        mapp = instance_norm(sem)
+        out, map_out = BidirectionAttention(
+            self.map_dim, self.out_dim, self.heads, self.dim_head,
+            map_size=self.map_size, proj_type=self.proj_type,
+            kernel_size=self.kernel_size, no_map_out=self.no_map_out,
+            dtype=self.dtype,
+        )(feat, mapp)
+        shortcut = x
+        if x.shape[-1] != self.out_dim:
+            shortcut = ConvNormAct(self.out_dim, 1, norm=self.norm, act=self.act,
+                                   preact=True, dtype=self.dtype)(x)
+        out = out + shortcut
+        FF = MBConv if self.proj_type == "depthwise" else FusedMBConv
+        out = FF(self.out_dim, expansion=self.expansion,
+                 kernel_size=self.kernel_size if self.proj_type == "depthwise" else 1,
+                 norm=self.norm, act=self.act, dtype=self.dtype)(out)
+        if not self.no_map_out:
+            map_out = map_out + sem
+        return out, map_out
+
+
+class BasicLayer(nn.Module):
+    """Stack of bidirectional-attention blocks (reference ``medformer_utils.py:180``)."""
+
+    num_blocks: int
+    map_dim: int
+    out_dim: int
+    heads: int
+    dim_head: int
+    expansion: int = 4
+    map_size: Tuple[int, int, int] = (3, 3, 3)
+    proj_type: str = "depthwise"
+    kernel_size: Any = 3
+    no_map_out: bool = False
+    norm: str = "in"
+    act: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, sem):
+        for i in range(self.num_blocks):
+            last = i == self.num_blocks - 1
+            x, sem = BidirectionAttentionBlock(
+                self.map_dim, self.out_dim, self.heads, self.dim_head,
+                expansion=self.expansion, map_size=self.map_size,
+                proj_type=self.proj_type, kernel_size=self.kernel_size,
+                no_map_out=self.no_map_out and last,
+                norm=self.norm, act=self.act, dtype=self.dtype,
+            )(x, sem)
+        return x, sem
+
+
+class PatchMerging(nn.Module):
+    """Space-to-depth downsample + norm + depthwise-separable reduction
+    (reference ``medformer_utils.py:142-178``)."""
+
+    out_dim: int
+    down_scale: Tuple[int, int, int] = (2, 2, 2)
+    proj_type: str = "depthwise"
+    kernel_size: Any = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, c = x.shape
+        sd, sh, sw = self.down_scale
+        x = x.reshape(b, d // sd, sd, h // sh, sh, w // sw, sw, c)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        x = x.reshape(b, d // sd, h // sh, w // sw, sd * sh * sw * c)
+        x = instance_norm(x)
+        if self.proj_type == "depthwise":
+            return DepthwiseSeparableConv(self.out_dim, self.kernel_size,
+                                          dtype=self.dtype)(x)
+        return nn.Conv(self.out_dim, (1, 1, 1), use_bias=False,
+                       dtype=self.dtype, param_dtype=jnp.float32)(x)
+
+
+class DownBlockMF(nn.Module):
+    """patch-merge → conv blocks → (semantic-map generation) → attention blocks
+    (reference ``medformer_utils.py:284-324``)."""
+
+    out_dim: int
+    conv_num: int
+    trans_num: int
+    heads: int = 4
+    dim_head: int = 64
+    expansion: int = 4
+    down_scale: Tuple[int, int, int] = (2, 2, 2)
+    map_size: Tuple[int, int, int] = (3, 3, 3)
+    proj_type: str = "depthwise"
+    kernel_size: Any = 3
+    conv_block: str = "BasicBlock"
+    norm: str = "in"
+    act: str = "relu"
+    map_generate: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = PatchMerging(self.out_dim, self.down_scale, self.proj_type,
+                         self.kernel_size, dtype=self.dtype)(x)
+        Block = BLOCKS[self.conv_block]
+        for _ in range(self.conv_num):
+            x = Block(self.out_dim, kernel_size=self.kernel_size,
+                      norm=self.norm, act=self.act, dtype=self.dtype)(x)
+        sem = None
+        if self.map_generate:
+            sem = SemanticMapGeneration(self.out_dim, self.map_size,
+                                        dtype=self.dtype)(x)
+        if self.trans_num > 0:
+            x, sem = BasicLayer(
+                self.trans_num, self.out_dim, self.out_dim, self.heads,
+                self.dim_head, expansion=self.expansion, map_size=self.map_size,
+                proj_type=self.proj_type, kernel_size=self.kernel_size,
+                norm=self.norm, act=self.act, dtype=self.dtype,
+            )(x, sem)
+        return x, sem
+
+
+class UpBlockMF(nn.Module):
+    """upsample + skip-concat (+ map shortcut) → attention blocks → conv blocks
+    (reference ``medformer_utils.py:326-376``)."""
+
+    out_dim: int
+    conv_num: int
+    trans_num: int
+    heads: int = 4
+    dim_head: int = 64
+    expansion: int = 4
+    map_size: Tuple[int, int, int] = (3, 3, 3)
+    proj_type: str = "depthwise"
+    kernel_size: Any = 3
+    conv_block: str = "BasicBlock"
+    norm: str = "in"
+    act: str = "relu"
+    map_shortcut: bool = False
+    no_map_out: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_low, x_skip, map_low, map_skip=None):
+        x = resize_trilinear(x_low, x_skip.shape[1:4]).astype(x_low.dtype)
+        feat = jnp.concatenate([x, x_skip.astype(x.dtype)], axis=-1)
+
+        if self.map_shortcut and map_skip is not None:
+            sem = jnp.concatenate([map_low, map_skip], axis=-1)
+            sem = nn.Conv(self.out_dim, (1, 1, 1), use_bias=False,
+                          dtype=self.dtype, param_dtype=jnp.float32)(sem)
+        else:
+            sem = map_low
+
+        if self.trans_num > 0:
+            feat, sem = BasicLayer(
+                self.trans_num, self.out_dim, self.out_dim, self.heads,
+                self.dim_head, expansion=self.expansion, map_size=self.map_size,
+                proj_type=self.proj_type, kernel_size=self.kernel_size,
+                no_map_out=self.no_map_out, norm=self.norm, act=self.act,
+                dtype=self.dtype,
+            )(feat, sem)
+        Block = BLOCKS[self.conv_block]
+        for _ in range(self.conv_num):
+            feat = Block(self.out_dim, kernel_size=self.kernel_size,
+                         norm=self.norm, act=self.act, dtype=self.dtype)(feat)
+        return feat, sem
+
+
+class SemanticMapFusion(nn.Module):
+    """Fuse the 3 encoder semantic maps with a small transformer
+    (reference ``medformer_utils.py:234-264``)."""
+
+    dim: int
+    heads: int
+    depth: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, maps):
+        b = maps[0].shape[0]
+        in_dims = [m.shape[-1] for m in maps]
+        toks = []
+        for i, m in enumerate(maps):
+            t = nn.Conv(self.dim, (1, 1, 1), use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"in_proj{i}")(m)
+            toks.append(t.reshape(b, -1, self.dim))
+        lens = [t.shape[1] for t in toks]
+        fused = TransformerBlock(self.depth, self.heads, self.dim // self.heads,
+                                 self.dim, dtype=self.dtype)(
+            jnp.concatenate(toks, axis=1)
+        )
+        outs = []
+        start = 0
+        for i, m in enumerate(maps):
+            seg = fused[:, start : start + lens[i]]
+            start += lens[i]
+            seg = seg.reshape(b, *m.shape[1:4], self.dim)
+            outs.append(
+                nn.Conv(in_dims[i], (1, 1, 1), use_bias=False, dtype=self.dtype,
+                        param_dtype=jnp.float32, name=f"out_proj{i}")(seg)
+            )
+        return outs
+
+
+class ClassificationBranch(nn.Module):
+    """Bottleneck classifier: reducer 1x1 conv → transformer → mean pool →
+    linear head (reference ``medformer.py:12-78``)."""
+
+    num_outputs: int
+    reduced_dim: int = 64
+    heads: int = 4
+    dim_head: int = 16
+    mlp_dim: int = 320
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b = x.shape[0]
+        x = nn.Conv(self.reduced_dim, (1, 1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        t = x.reshape(b, -1, self.reduced_dim)
+        t = TransformerBlock(1, self.heads, self.dim_head, self.mlp_dim,
+                             dtype=self.dtype)(t)
+        t = jnp.mean(t, axis=1)
+        return nn.Dense(self.num_outputs, dtype=jnp.float32,
+                        param_dtype=jnp.float32)(t)
+
+
+class MedFormer(nn.Module):
+    """Returns ``{'segmentation': [logits, aux] | logits, 'classification'?,
+    'clip'?}`` — the reference's output contract (``medformer.py:205-222``)."""
+
+    num_classes: int
+    base_chan: int = 32
+    map_size: Tuple[int, int, int] = (3, 3, 3)
+    conv_block: str = "BasicBlock"
+    conv_num: Sequence[int] = (2, 0, 0, 0, 0, 0, 2, 2)
+    trans_num: Sequence[int] = (0, 2, 4, 6, 4, 2, 0, 0)
+    chan_num: Sequence[int] = (64, 128, 256, 320, 256, 128, 64, 32)
+    num_heads: Sequence[int] = (1, 4, 8, 10, 8, 4, 1, 1)
+    fusion_depth: int = 2
+    fusion_dim: int = 320
+    fusion_heads: int = 10
+    expansion: int = 4
+    proj_type: str = "depthwise"
+    norm: str = "in"
+    act: str = "relu"
+    kernel_size: Sequence[Any] = (3, 3, 3, 3, 3)
+    scale: Sequence[Any] = ((2, 2, 2),) * 4
+    aux_loss: bool = True
+    classification_classes: int = 0
+    clip_branch: bool = False
+    clip_feats: int = 768
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cn, tn, ch, nh = self.conv_num, self.trans_num, self.chan_num, self.num_heads
+        dim_head = [ch[i] // nh[i] for i in range(8)]
+        scale = [s if isinstance(s, tuple) else (s,) * 3 for s in self.scale]
+        x = x.astype(self.dtype)
+
+        # conv stem
+        x0 = nn.Conv(self.base_chan, (3, 3, 3), padding="SAME", use_bias=False,
+                     dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x0 = BLOCKS[self.conv_block](self.base_chan, kernel_size=self.kernel_size[0],
+                                     norm=self.norm, act=self.act,
+                                     dtype=self.dtype)(x0)
+
+        def down(i, inp, map_generate):
+            return DownBlockMF(
+                ch[i], cn[i], tn[i], heads=nh[i], dim_head=dim_head[i],
+                expansion=self.expansion, down_scale=scale[i],
+                map_size=self.map_size, proj_type=self.proj_type,
+                kernel_size=self.kernel_size[min(i + 1, 4)],
+                conv_block=self.conv_block, norm=self.norm, act=self.act,
+                map_generate=map_generate, dtype=self.dtype,
+            )(inp)
+
+        x1, _ = down(0, x0, False)
+        x2, map2 = down(1, x1, True)
+        x3, map3 = down(2, x2, True)
+        x4, map4 = down(3, x3, True)
+
+        y_class = None
+        if self.classification_classes:
+            feats, _ = DownBlockMF(
+                ch[3] // 2, 0, 1, heads=4, dim_head=dim_head[3],
+                expansion=self.expansion, down_scale=scale[3],
+                map_size=self.map_size, proj_type=self.proj_type,
+                kernel_size=self.kernel_size[4], conv_block=self.conv_block,
+                norm=self.norm, act=self.act, map_generate=True,
+                dtype=self.dtype, name="cls_extra",
+            )(x4)
+            y_class = ClassificationBranch(self.classification_classes,
+                                           dtype=self.dtype, name="cls_branch")(feats)
+        y_clip = None
+        if self.clip_branch:
+            feats, _ = DownBlockMF(
+                ch[3] // 2, 0, 1, heads=4, dim_head=dim_head[3],
+                expansion=self.expansion, down_scale=scale[3],
+                map_size=self.map_size, proj_type=self.proj_type,
+                kernel_size=self.kernel_size[4], conv_block=self.conv_block,
+                norm=self.norm, act=self.act, map_generate=True,
+                dtype=self.dtype, name="clip_extra",
+            )(x4)
+            y_clip = ClassificationBranch(self.clip_feats, dtype=self.dtype,
+                                          name="clip_branch")(feats)
+
+        map2, map3, map4 = SemanticMapFusion(
+            self.fusion_dim, self.fusion_heads, depth=self.fusion_depth,
+            dtype=self.dtype,
+        )([map2, map3, map4])
+
+        def up(i, a, b_skip, m1, m2, map_shortcut, no_map_out=False):
+            return UpBlockMF(
+                ch[i], cn[i], tn[i], heads=nh[i], dim_head=dim_head[i],
+                expansion=self.expansion, map_size=self.map_size,
+                proj_type=self.proj_type, kernel_size=self.kernel_size[7 - i],
+                conv_block=self.conv_block, norm=self.norm, act=self.act,
+                map_shortcut=map_shortcut, no_map_out=no_map_out,
+                dtype=self.dtype,
+            )(a, b_skip, m1, m2)
+
+        out, sem = up(4, x4, x3, map4, map3, True)
+        out, sem = up(5, out, x2, sem, map2, True, no_map_out=True)
+
+        aux = None
+        if self.aux_loss:
+            a = nn.Conv(self.num_classes, (1, 1, 1), dtype=jnp.float32,
+                        param_dtype=jnp.float32, name="aux_out")(out)
+            aux = resize_trilinear(a, x.shape[1:4]).astype(jnp.float32)
+
+        out, sem = up(6, out, x1, sem, None, False)
+        out, sem = up(7, out, x0, sem, None, False)
+
+        logits = nn.Conv(self.num_classes, (1, 1, 1), dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="outc")(out)
+
+        ret = {"segmentation": [logits, aux] if self.aux_loss else logits}
+        if self.classification_classes:
+            ret["classification"] = y_class
+        if self.clip_branch:
+            ret["clip"] = y_clip
+        return ret

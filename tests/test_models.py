@@ -1,0 +1,66 @@
+"""Model zoo shape/gradient tests (32³ inputs on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rsuper_tpu.models import get_model
+
+
+def _init_and_run(arch, args=None, S=32, C=5, aux=None):
+    model = get_model(arch, C, args or {}, dtype=jnp.float32)
+    x = jnp.ones((1, S, S, S, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    return model, params, out
+
+
+def test_unet3d_shapes():
+    _, params, out = _init_and_run("resunet")
+    seg = out["segmentation"]
+    assert seg.shape == (1, 32, 32, 32, 5)
+    assert seg.dtype == jnp.float32
+
+
+def test_unet3d_aux_head():
+    _, _, out = _init_and_run("resunet", {"aux_head": True})
+    main, aux = out["segmentation"]
+    assert main.shape == aux.shape == (1, 32, 32, 32, 5)
+
+
+def test_medformer_shapes_and_aux():
+    _, params, out = _init_and_run("medformer")
+    main, aux = out["segmentation"]
+    assert main.shape == (1, 32, 32, 32, 5)
+    assert aux.shape == (1, 32, 32, 32, 5)
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    assert n_params > 1e6
+
+
+def test_medformer_branches():
+    _, _, out = _init_and_run(
+        "medformer", {"classification_classes": 3, "clip_branch": True, "clip_feats": 16}
+    )
+    assert out["classification"].shape == (1, 3)
+    assert out["clip"].shape == (1, 16)
+
+
+def test_medformer_gradients_finite():
+    model = get_model("medformer", 2, {}, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 32, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        out = model.apply(p, x)["segmentation"][0]
+        return jnp.mean(out**2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_model_factory_unknown():
+    with pytest.raises(ValueError):
+        get_model("nope", 2)
