@@ -1,0 +1,169 @@
+"""Input pipeline: host-side prefetching + on-device batch augmentation.
+
+Replaces the reference's DataLoader-worker + AugmentEternal machinery
+(``train_ddp.py:114``, ``AugmentEternal.py``): instead of burning CPU workers
+on per-item torch augmentation, the host threads only do IO + branchy
+cropping (``dataset.py``), and the geometric/intensity augmentation runs
+batched on the TPU inside one jitted function (`device_augment`), overlapped
+with the train step via async dispatch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from functools import partial
+from typing import Dict, Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .augment import (
+    _affine_theta,
+    affine_sample,
+    center_crop,
+    intensity_augment,
+)
+from .dataset import RSuperDataset, to_channels_last
+
+
+@partial(jax.jit, static_argnames=("crop_size", "affine_prob", "scale", "rotate",
+                                   "translate", "intensity_prob"))
+def device_augment(
+    batch: Dict[str, jnp.ndarray],
+    key,
+    crop_size=(96, 96, 96),
+    affine_prob: float = 0.4,
+    scale=(0.0, 0.0, 0.0),
+    rotate=(30.0, 30.0, 30.0),
+    translate=(0.0, 0.0, 0.0),
+    intensity_prob: float = 0.3,
+):
+    """Batched on-device augmentation:
+
+    * random affine (scale/rotate/translate) with probability `affine_prob`,
+      gated by each record's ``apply_affine`` flag (segment-targeted report
+      crops are never warped — reference ``crop()`` :902);
+    * centre-crop from the margined load size down to `crop_size`;
+    * the 6-op intensity stack (p=0.3 each, reference :493-507).
+
+    Input arrays are channels-last records stacked on axis 0.
+    """
+    B = batch["image"].shape[0]
+    keys = jax.random.split(key, B)
+
+    def one(img, lab, unk, seg, flag, k):
+        k_aff, k_coin, k_int = jax.random.split(k, 3)
+        theta = _affine_theta(k_aff, scale, rotate, translate, (0.0, 0.0, 0.0))
+        coin = jax.random.uniform(k_coin) < affine_prob
+        do_aff = (flag > 0) & coin
+
+        img3 = img[..., 0]
+        masks = jnp.concatenate([lab, unk, seg], axis=-1)
+        img_a = affine_sample(img3, theta, order=1)
+        masks_a = affine_sample(masks, theta, order=0)
+        img3 = jnp.where(do_aff, img_a, img3)
+        masks = jnp.where(do_aff, masks_a, masks)
+
+        img3 = center_crop(img3, crop_size)
+        masks = center_crop(masks, crop_size)
+        img3 = intensity_augment(img3, k_int, p=intensity_prob)
+        C = lab.shape[-1]
+        return img3[..., None], masks[..., :C], masks[..., C : 2 * C], masks[..., 2 * C :]
+
+    img, lab, unk, seg = jax.vmap(one)(
+        batch["image"],
+        batch["label"].astype(jnp.float32),
+        batch["unk"].astype(jnp.float32),
+        batch["segment_mask"].astype(jnp.float32),
+        batch.get("apply_affine", jnp.ones((B,), jnp.float32)),
+        keys,
+    )
+    out = dict(batch)
+    out.update(image=img, label=lab, unk=unk, segment_mask=seg)
+    out.pop("apply_affine", None)
+    return out
+
+
+class PrefetchLoader:
+    """Thread-pool loader: samples records with `RSuperDataset.sample`, stacks
+    channels-last batches, and keeps `prefetch` batches ready."""
+
+    def __init__(
+        self,
+        dataset: RSuperDataset,
+        batch_size: int,
+        indices: Sequence[int],
+        num_workers: int = 4,
+        prefetch: int = 4,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.indices = list(indices)
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n_batches = len(self.indices) // self.batch_size
+        if n_batches == 0:
+            return
+        jobs: "queue.Queue" = queue.Queue()
+        results: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.batch_size)
+        for bi in range(n_batches):
+            for j in range(self.batch_size):
+                jobs.put((bi, self.indices[bi * self.batch_size + j]))
+        for _ in range(self.num_workers):
+            jobs.put(None)
+
+        def worker(wid: int):
+            rng = np.random.default_rng(self.seed * 10007 + wid)
+            while True:
+                job = jobs.get()
+                if job is None:
+                    results.put(None)
+                    return
+                bi, idx = job
+                try:
+                    rec = to_channels_last(self.dataset.sample(idx, rng))
+                    results.put((bi, rec))
+                except Exception as e:  # degrade like the reference (:421-433)
+                    try:
+                        idx2 = int(rng.integers(len(self.dataset)))
+                        rec = to_channels_last(self.dataset.sample(idx2, rng))
+                        results.put((bi, rec))
+                    except Exception:
+                        results.put((bi, e))
+
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+
+        pending: Dict[int, list] = {}
+        done_workers = 0
+        emitted = 0
+        next_batch = 0
+        while emitted < n_batches:
+            item = results.get()
+            if item is None:
+                done_workers += 1
+                if done_workers == self.num_workers and not pending:
+                    break
+                continue
+            bi, rec = item
+            if isinstance(rec, Exception):
+                raise rec
+            pending.setdefault(bi, []).append(rec)
+            while next_batch in pending and len(pending[next_batch]) == self.batch_size:
+                recs = pending.pop(next_batch)
+                batch = {
+                    k: np.stack([r[k] for r in recs]) for k in recs[0]
+                }
+                yield batch
+                emitted += 1
+                next_batch += 1

@@ -1,0 +1,101 @@
+"""The jitted training step: forward → R-Super losses → grad → clip → update → EMA.
+
+Reference hot loop: ``rsuper_train/train_ddp.py:235-360`` (``train_epoch``).
+The torch version runs fp32 (AMP disabled as unstable, ``train_ddp.py:315``);
+here the model computes in bf16 with float32 parameters, optimizer state and
+loss accumulations — the bf16 exponent range makes this stable on TPU, and
+the voxel-count-scale reductions inside the volume/ball losses are already
+accumulated in float32 (see ``losses/``).
+
+Parallelism: the step is ``jax.jit``-ed with explicit shardings — batch
+arrays sharded over the mesh ``data`` axis, state replicated. XLA turns the
+gradient averaging into an ICI all-reduce (the DDP equivalent,
+SURVEY.md §2.4) with no user-level collectives.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..losses import LesionChannelMap, LossConfig, calculate_loss
+from .state import TrainState
+
+
+def loss_fn(params, model, batch: Dict[str, Any], lmap: LesionChannelMap,
+            cfg: LossConfig, model_genesis: bool = False,
+            clip_only: bool = False, data_axis=None):
+    out = model.apply(params, batch["image"])
+    losses = calculate_loss(
+        out,
+        batch.get("label"),
+        batch.get("unk"),
+        batch.get("segment_mask"),
+        batch.get("volumes"),
+        batch.get("diameters"),
+        lmap,
+        cfg,
+        class_weights=batch.get("class_weights"),
+        model_genesis=model_genesis,
+        clip_only=clip_only,
+        report_embeddings=batch.get("report_embedding"),
+        data_axis=data_axis,
+    )
+    return losses["overall"], losses
+
+
+def build_train_step(
+    model,
+    lmap: LesionChannelMap,
+    cfg: LossConfig = LossConfig(),
+    mesh: Optional[Mesh] = None,
+    ema_alpha: float = 0.99,
+    model_genesis: bool = False,
+    clip_only: bool = False,
+):
+    """Returns ``step(state, batch) -> (state, metrics)``, jitted.
+
+    With a `mesh`, inputs/outputs carry NamedShardings (batch over 'data',
+    state replicated) so the same compiled step runs 1..N chips.
+    """
+
+    def train_step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, losses), grads = grad_fn(
+            state.params, model, batch, lmap, cfg,
+            model_genesis, clip_only,
+        )
+        state = state.apply_gradients(grads, ema_alpha=ema_alpha)
+        return state, losses
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def build_eval_step(model, mesh: Optional[Mesh] = None, use_ema: bool = False):
+    """Jitted forward pass returning sigmoid probabilities of the final head."""
+
+    def eval_step(state: TrainState, image):
+        params = state.ema_params if use_ema else state.params
+        out = model.apply(params, image)["segmentation"]
+        logits = out[0] if isinstance(out, (list, tuple)) else out
+        return jax.nn.sigmoid(logits)
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(eval_step, in_shardings=(repl, data), out_shardings=data)

@@ -1,0 +1,349 @@
+"""Data-layer tests: NIfTI IO, preprocessing, report parsing, crops, the joint
+dataset, and the on-device augmentation pipeline — all on synthetic data."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rsuper_tpu.data.nifti import NiftiImage, as_canonical, read_nifti, write_nifti
+from rsuper_tpu.data.preprocess import (
+    clip_and_normalize,
+    load_case,
+    preprocess_case,
+    resample_to_spacing,
+)
+from rsuper_tpu.data import reports as rep
+from rsuper_tpu.data import crops
+from rsuper_tpu.data.dataset import (
+    Case,
+    RSuperDataConfig,
+    RSuperDataset,
+    build_case_list,
+    to_channels_last,
+)
+from rsuper_tpu.data.pipeline import PrefetchLoader, device_augment
+
+# ------------------------------------------------------------------- NIfTI IO
+def test_nifti_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(12, 10, 8)).astype(np.float32)
+    aff = np.diag([1.5, 1.5, 2.0, 1.0])
+    aff[:3, 3] = [5, -3, 10]
+    p = str(tmp_path / "x.nii.gz")
+    write_nifti(p, vol, aff)
+    img = read_nifti(p)
+    np.testing.assert_allclose(img.data, vol, rtol=1e-6)
+    np.testing.assert_allclose(img.affine, aff, rtol=1e-6)
+    np.testing.assert_allclose(img.spacing, [1.5, 1.5, 2.0])
+
+
+def test_nifti_uncompressed_and_int(tmp_path):
+    vol = (np.arange(60).reshape(5, 4, 3) % 7).astype(np.int16)
+    p = str(tmp_path / "y.nii")
+    write_nifti(p, vol)
+    img = read_nifti(p)
+    np.testing.assert_array_equal(img.data, vol)
+
+
+def test_as_canonical_flips():
+    vol = np.arange(24, dtype=np.float32).reshape(4, 3, 2)
+    aff = np.diag([-1.0, 1.0, 1.0, 1.0])  # L-flip
+    img = as_canonical(NiftiImage(vol, aff))
+    assert img.orientation() == ("R", "A", "S")
+    np.testing.assert_array_equal(img.data, vol[::-1])
+    # world coordinate of voxel (0,0,0) in output == voxel (3,0,0) in input
+    assert img.affine[0, 3] == pytest.approx(-3.0)
+
+
+def test_as_canonical_permutation():
+    vol = np.random.default_rng(1).normal(size=(4, 5, 6)).astype(np.float32)
+    # voxel axes: (y, z, x) ordering
+    aff = np.zeros((4, 4))
+    aff[1, 0] = 1.0  # axis0 -> A
+    aff[2, 1] = 1.0  # axis1 -> S
+    aff[0, 2] = 1.0  # axis2 -> R
+    aff[3, 3] = 1.0
+    img = as_canonical(NiftiImage(vol, aff))
+    assert img.orientation() == ("R", "A", "S")
+    assert img.data.shape == (6, 4, 5)
+
+
+# --------------------------------------------------------------- preprocessing
+def test_clip_and_normalize():
+    img = np.array([[-2000.0, 0.0], [250.0, 1000.0]])
+    out = clip_and_normalize(img)
+    assert out.mean() == pytest.approx(0.0, abs=1e-5)
+    assert out.std() == pytest.approx(1.0, abs=1e-4)
+
+
+def test_resample_to_spacing():
+    vol = np.zeros((10, 10, 10), np.float32)
+    vol[4:6] = 1.0
+    out = resample_to_spacing(vol, (2.0, 1.0, 1.0))
+    assert out.shape == (20, 10, 10)
+
+
+def test_preprocess_case_end_to_end(tmp_path):
+    rng = np.random.default_rng(2)
+    ct = (rng.normal(size=(20, 20, 20)) * 100).astype(np.float32)
+    write_nifti(str(tmp_path / "ct.nii.gz"), ct, np.diag([2.0, 2.0, 2.0, 1.0]))
+    organ = np.zeros((20, 20, 20), np.uint8)
+    organ[5:15, 5:15, 5:15] = 1
+    write_nifti(str(tmp_path / "organ.nii.gz"), organ, np.diag([2.0, 2.0, 2.0, 1.0]))
+    out = str(tmp_path / "case.npz")
+    meta = preprocess_case(
+        str(tmp_path / "ct.nii.gz"),
+        {"pancreas": str(tmp_path / "organ.nii.gz"), "liver": None},
+        out,
+        classes=["liver", "pancreas"],
+        min_size=(48, 48, 48),
+    )
+    image, labels = load_case(out)
+    assert image.shape == (48, 48, 48)  # 20 vox @2mm -> 40 @1mm -> padded 48
+    assert labels.shape == (2, 48, 48, 48)
+    assert labels[0].sum() == 0  # missing organ -> zero channel
+    assert labels[1].sum() > 0
+    assert meta["classes"] == ["liver", "pancreas"]
+
+
+# -------------------------------------------------------------------- reports
+def _reports_df():
+    rows = [
+        # usable pancreas case: one head tumor, known size
+        dict(BDMAP_ID="C1", **{"Standardized Organ": "pancreas",
+             "Standardized Location": "head", "Tumor Size (mm)": "20.0",
+             "Unknow Tumor Size": "no", "no lesion": 0}),
+        # kidney without laterality -> dropped
+        dict(BDMAP_ID="C2", **{"Standardized Organ": "kidney",
+             "Standardized Location": "u", "Tumor Size (mm)": "15.0",
+             "Unknow Tumor Size": "no", "no lesion": 0}),
+        # hallucination
+        dict(BDMAP_ID="C3", **{"Standardized Organ": "pancreas",
+             "Standardized Location": "tail", "Tumor Size (mm)": "0.0 x 0.0",
+             "Unknow Tumor Size": "no", "no lesion": 0}),
+        # healthy
+        dict(BDMAP_ID="C4", **{"Standardized Organ": np.nan,
+             "Standardized Location": np.nan, "Tumor Size (mm)": np.nan,
+             "Unknow Tumor Size": np.nan, "no lesion": 1}),
+        # multi-segment tumor, known size
+        dict(BDMAP_ID="C5", **{"Standardized Organ": "pancreas",
+             "Standardized Location": "head / body",
+             "Tumor Size (mm)": "30 x 20 x 10",
+             "Unknow Tumor Size": "no", "no lesion": 0}),
+    ]
+    return pd.DataFrame(rows)
+
+
+def test_clean_reports():
+    df, ids, per_organ = rep.clean_reports(_reports_df(), ["pancreas", "kidney"])
+    assert "C1" in ids and "C5" in ids and "C4" in ids
+    assert "C2" not in ids and "C3" not in ids
+    assert "C1" in per_organ["pancreas"]
+    assert per_organ["healthy"] == ["C4"]
+
+
+def test_case_supervision_and_volumes():
+    df = _reports_df()
+    sup = rep.case_supervision(df[df.BDMAP_ID == "C5"])
+    assert sup["has_tumor"]
+    assert sup["segment_groups"] == [["body", "head"]]
+    vols, dias = rep.estimate_tumor_volumes(df[df.BDMAP_ID == "C5"], ["body", "head"])
+    want = (4 / 3) * np.pi * 15 * 10 * 5
+    assert vols[0] == pytest.approx(want, rel=1e-5)
+    np.testing.assert_allclose(dias[0], [30, 20, 10])
+    assert vols[1:].sum() == 0
+    # crop elsewhere -> no volumes
+    vols2, _ = rep.estimate_tumor_volumes(df[df.BDMAP_ID == "C5"], ["tail"])
+    assert vols2.sum() == 0
+
+
+def test_case_supervision_healthy():
+    df = _reports_df()
+    sup = rep.case_supervision(df[df.BDMAP_ID == "C4"])
+    assert not sup["has_tumor"] and sup["segment_groups"] == []
+
+
+def test_parse_size_sphere_and_two_axis():
+    v, d = rep.parse_size_mm("10")
+    assert v == pytest.approx((4 / 3) * np.pi * 125)
+    v2, d2 = rep.parse_size_mm("10 x 20")
+    assert d2 == [10, 20, 15]
+
+
+def test_segment_to_label():
+    assert rep.segment_to_label("segment 3") == "liver_segment_3"
+    assert rep.segment_to_label("head") == "pancreas_head"
+    assert rep.segment_to_label("left") == "kidney_left"
+
+
+# ---------------------------------------------------------------------- crops
+def test_crop_foreground_contains_mask():
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(60, 60, 60)).astype(np.float32)
+    lab = np.zeros((2, 60, 60, 60), np.uint8)
+    fg = np.zeros((60, 60, 60), np.uint8)
+    fg[20:30, 25:35, 40:50] = 1
+    lab[1] = fg
+    out = crops.crop_foreground(img, lab, fg, (32, 32, 32), rng=rng)
+    assert isinstance(out, tuple)
+    ci, cl, cf = out
+    assert ci.shape == (32, 32, 32)
+    assert cf.sum() == fg.sum()  # fully contained
+
+
+def test_crop_foreground_too_big():
+    img = np.zeros((40, 40, 40), np.float32)
+    fg = np.ones((40, 40, 40), np.uint8)
+    out = crops.crop_foreground(img, None, fg, (16, 16, 16))
+    assert out == "mask does not fit crop size"
+    assert crops.crop_foreground(img, None, np.zeros_like(fg), (16, 16, 16)) == "zero mask"
+
+
+def test_random_crop_on_tumor_prefers_tumor():
+    rng = np.random.default_rng(4)
+    img = np.zeros((50, 50, 50), np.float32)
+    lab = np.zeros((3, 50, 50, 50), np.uint8)
+    lab[2, 30:34, 30:34, 30:34] = 1  # lesion
+    hits = 0
+    for _ in range(20):
+        _, cl = crops.random_crop_on_tumor(img, lab, [2], (16, 16, 16), True, rng=rng)
+        hits += int(cl[2].any())
+    assert hits >= 16  # ~90% tumor crops
+
+
+# ------------------------------------------------------------------- dataset
+CLASSES = ["background", "kidney_left", "kidney_right", "liver", "pancreas",
+           "pancreas_body", "pancreas_head", "pancreas_tail", "pancreatic_lesion"]
+REPORT_CLASSES = ["background", "kidney_left", "kidney_right", "liver",
+                  "pancreas_body", "pancreas_head", "pancreas_tail"]
+
+
+def _make_mask_case(tmp_path, name="BDMAP_A"):
+    rng = np.random.default_rng(5)
+    img = rng.normal(size=(64, 64, 64)).astype(np.float32)
+    labels = np.zeros((len(CLASSES), 64, 64, 64), bool)
+    labels[CLASSES.index("pancreas"), 20:40, 20:40, 20:40] = True
+    labels[CLASSES.index("pancreatic_lesion"), 28:34, 28:34, 28:34] = True
+    path = str(tmp_path / f"{name}.npz")
+    np.savez_compressed(path, image=img, labels=np.packbits(labels, axis=0),
+                        num_classes=len(CLASSES))
+    return name, path
+
+
+def _make_report_case(tmp_path, name="BDMAP_R"):
+    rng = np.random.default_rng(6)
+    img = rng.normal(size=(64, 64, 64)).astype(np.float32)
+    labels = np.zeros((len(REPORT_CLASSES), 64, 64, 64), bool)
+    labels[REPORT_CLASSES.index("pancreas_head"), 16:32, 16:32, 16:32] = True
+    labels[REPORT_CLASSES.index("pancreas_body"), 32:44, 16:32, 16:32] = True
+    labels[REPORT_CLASSES.index("liver"), 40:60, 40:60, 40:60] = True
+    path = str(tmp_path / f"{name}.npz")
+    np.savez_compressed(path, image=img, labels=np.packbits(labels, axis=0),
+                        num_classes=len(REPORT_CLASSES))
+    return name, path
+
+
+def _report_rows():
+    return pd.DataFrame([
+        dict(BDMAP_ID="BDMAP_R", **{"Standardized Organ": "pancreas",
+             "Standardized Location": "head", "Tumor Size (mm)": "12.0",
+             "Unknow Tumor Size": "no", "no lesion": 0}),
+    ])
+
+
+def _cfg(augment=True):
+    return RSuperDataConfig(
+        classes=tuple(CLASSES), report_classes=tuple(REPORT_CLASSES),
+        crop_size=(32, 32, 32), tumor_classes=("pancreas",),
+        augment_margin=augment,
+    )
+
+
+def test_dataset_mask_case(tmp_path):
+    cases = [Case(*_make_mask_case(tmp_path), False)]
+    ds = RSuperDataset(cases, _cfg())
+    rec = ds.sample(0, np.random.default_rng(0))
+    assert rec["image"].shape == (52, 72, 72)
+    assert rec["label"].shape == (len(CLASSES), 52, 72, 72)
+    assert rec["unk"].sum() == 0 and rec["segment_mask"].sum() == 0
+    assert rec["volumes"].sum() == 0
+
+
+def test_dataset_report_case(tmp_path):
+    cases = [Case(*_make_report_case(tmp_path), True)]
+    ds = RSuperDataset(cases, _cfg(), report_rows=_report_rows())
+    got_segment = 0
+    for s in range(10):
+        rec = ds.sample(0, np.random.default_rng(s))
+        ci = CLASSES.index("pancreatic_lesion")
+        if rec["segment_mask"].any():
+            got_segment += 1
+            assert rec["segment_mask"][ci].any()
+            assert rec["segment_mask"][[i for i in range(len(CLASSES)) if i != ci]].sum() == 0
+            assert rec["volumes"][0] == pytest.approx((4 / 3) * np.pi * 6**3, rel=1e-4)
+            # unk covers the tumor-bearing segment
+            assert rec["unk"][ci].any()
+            assert rec["apply_affine"] == 0.0
+        # pancreas organ channel reconstructed from subsegments
+        assert rec["label"][CLASSES.index("pancreas")].sum() >= 0
+    assert got_segment >= 7  # ~90% segment-targeted
+
+
+def test_dataset_report_rejects_lesion_classes():
+    with pytest.raises(ValueError):
+        RSuperDataConfig(
+            classes=tuple(CLASSES),
+            report_classes=tuple(REPORT_CLASSES) + ("pancreatic_lesion",),
+        )
+
+
+def test_build_case_list_balances():
+    mask = [("a%d" % i, "p") for i in range(5)]
+    report = [("b", "q")]
+    cases = build_case_list(mask, report, balance=True, seed=0)
+    n_rep = sum(c.is_report for c in cases)
+    assert n_rep == 5 and len(cases) == 10
+
+
+# ------------------------------------------------------- device augmentation
+def test_device_augment_shapes_and_flags(tmp_path):
+    import jax
+
+    B, C = 2, len(CLASSES)
+    load = (52, 72, 72)
+    batch = {
+        "image": np.random.default_rng(7).normal(size=(B, *load, 1)).astype(np.float32),
+        "label": np.zeros((B, *load, C), np.uint8),
+        "unk": np.zeros((B, *load, C), np.uint8),
+        "segment_mask": np.zeros((B, *load, C), np.uint8),
+        "volumes": np.zeros((B, 10), np.float32),
+        "diameters": np.zeros((B, 10, 3), np.float32),
+        "apply_affine": np.ones((B,), np.float32),
+    }
+    batch["label"][:, 20:30, 30:40, 30:40, 4] = 1
+    out = device_augment(
+        {k: jax.numpy.asarray(v) for k, v in batch.items()},
+        jax.random.PRNGKey(0),
+        crop_size=(32, 32, 32),
+    )
+    assert out["image"].shape == (B, 32, 32, 32, 1)
+    assert out["label"].shape == (B, 32, 32, 32, C)
+    assert "apply_affine" not in out
+    lab = np.asarray(out["label"])
+    assert set(np.unique(lab)) <= {0.0, 1.0}  # nearest-neighbour labels stay binary
+
+
+def test_prefetch_loader(tmp_path):
+    cases = [
+        Case(*_make_mask_case(tmp_path, "BDMAP_A"), False),
+        Case(*_make_report_case(tmp_path, "BDMAP_R"), True),
+    ]
+    ds = RSuperDataset(cases, _cfg(), report_rows=_report_rows())
+    loader = PrefetchLoader(ds, batch_size=2, indices=[0, 1, 0, 1], num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    for b in batches:
+        assert b["image"].shape == (2, 52, 72, 72, 1)
+        assert b["label"].shape[-1] == len(CLASSES)

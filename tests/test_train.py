@@ -1,0 +1,115 @@
+"""Training-step tests on the virtual 8-device CPU mesh: sharded DP step runs,
+loss decreases, EMA/schedule match the reference curves."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rsuper_tpu.losses import LesionChannelMap, LossConfig
+from rsuper_tpu.models import get_model
+from rsuper_tpu.parallel import make_mesh, shard_batch
+from rsuper_tpu.train import (
+    build_train_step,
+    create_train_state,
+    ema_update,
+    make_optimizer,
+    warmup_poly_schedule,
+)
+
+CLASSES = ["background", "pancreas", "pancreatic_lesion"]
+LMAP = LesionChannelMap.from_classes(CLASSES)
+
+
+def _batch(B=8, S=16):
+    rng = np.random.default_rng(0)
+    C = len(CLASSES)
+    img = rng.normal(size=(B, S, S, S, 1)).astype(np.float32)
+    lab = np.zeros((B, S, S, S, C), np.float32)
+    lab[:, 4:12, 4:12, 4:12, 1] = 1.0  # organ everywhere
+    return {
+        "image": jnp.asarray(img),
+        "label": jnp.asarray(lab),
+        "unk": jnp.zeros_like(lab),
+        "segment_mask": jnp.zeros_like(lab),
+        "volumes": jnp.zeros((B, 10), jnp.float32),
+        "diameters": jnp.zeros((B, 10, 3), jnp.float32),
+    }
+
+
+def test_schedule_matches_reference_curve():
+    s = warmup_poly_schedule(1.0, warmup_epochs=5, max_epochs=100, steps_per_epoch=10)
+    # warm-up: epoch 0 -> e^-10; epoch 5 -> exactly 1.0
+    assert float(s(0)) == pytest.approx(np.exp(-10.0), rel=1e-5)
+    assert float(s(50)) == pytest.approx(1.0, rel=1e-6)
+    # decay: epoch 50 -> 0.5^0.9
+    assert float(s(500)) == pytest.approx(0.5**0.9, rel=1e-5)
+    assert float(s(999)) == pytest.approx((1 - 99 / 100) ** 0.9, rel=1e-4)
+
+
+def test_ema_update_alpha_ramp():
+    p = {"w": jnp.ones(3)}
+    e = {"w": jnp.zeros(3)}
+    # step 1 -> alpha = min(1 - 1/2, 0.99) = 0.5
+    out = ema_update(e, p, jnp.asarray(1), alpha=0.99)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.5)
+    # large step -> alpha = 0.99
+    out = ema_update(e, p, jnp.asarray(10_000), alpha=0.99)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.01, rtol=1e-5)
+
+
+def test_train_step_sharded_loss_decreases():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    model = get_model("resunet", len(CLASSES), {"base_chan": 4}, dtype=jnp.float32)
+    tx = make_optimizer(base_lr=1e-2, warmup_epochs=0, max_epochs=100,
+                        steps_per_epoch=10)
+    batch = _batch()
+    state = create_train_state(model, jax.random.PRNGKey(0), batch["image"][:1], tx)
+    cfg = LossConfig(loss="dice", report_volume_loss_basic=0.0)
+    step = build_train_step(model, LMAP, cfg, mesh=mesh)
+
+    batch = shard_batch(batch, mesh)
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["overall"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 5
+    # EMA params differ from params but track them
+    d = jax.tree.leaves(
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.params,
+                     state.ema_params)
+    )
+    assert max(d) > 0
+
+
+def test_train_step_with_report_losses_runs():
+    mesh = make_mesh()
+    model = get_model("resunet", len(CLASSES), {"base_chan": 4, "aux_head": True},
+                      dtype=jnp.float32)
+    tx = make_optimizer(base_lr=1e-3, warmup_epochs=0, max_epochs=10,
+                        steps_per_epoch=10)
+    B, S = 8, 16
+    batch = _batch(B, S)
+    # one report item: segment + unk on the lesion channel, volume 50
+    seg = np.zeros((B, S, S, S, len(CLASSES)), np.float32)
+    seg[0, 4:12, 4:12, 4:12, 2] = 1.0
+    vols = np.zeros((B, 10), np.float32)
+    vols[0, 0] = 50.0
+    dias = np.zeros((B, 10, 3), np.float32)
+    dias[0, 0] = [5, 5, 5]
+    batch.update(
+        segment_mask=jnp.asarray(seg),
+        unk=jnp.asarray(seg.copy()),
+        volumes=jnp.asarray(vols),
+        diameters=jnp.asarray(dias),
+        label=jnp.zeros_like(batch["label"]),
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0), batch["image"][:1], tx)
+    cfg = LossConfig(loss="ball_dice_last")
+    step = build_train_step(model, LMAP, cfg, mesh=mesh)
+    state, metrics = step(state, shard_batch(batch, mesh))
+    for k in ("segmentation", "ball_loss_bce", "dice_volume_loss", "overall"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
