@@ -1,0 +1,85 @@
+"""Checkpointing with orbax: latest / every-N / best retention + resume.
+
+Reference contract (``rsuper_train/train_ddp.py:180-222`` +
+``utils.py:41-60``): save {epoch, model, ema_model, optimizer} every epoch as
+'latest', every 25 epochs, and on best validation Dice; resume restores all
+four. Here the whole `TrainState` pytree (params, opt state, EMA, step) is
+one atomic orbax checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, save_every: int = 25, max_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.save_every = save_every
+        self.checkpointer = ocp.StandardCheckpointer()
+        self.best_metric = -float("inf")
+
+    def _path(self, tag: str) -> str:
+        return os.path.join(self.directory, tag)
+
+    def _save(self, tag: str, state):
+        path = self._path(tag)
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "ema_params": state.ema_params,
+            "step": state.step,
+        }
+        self.checkpointer.save(path, payload, force=True)
+        # StandardCheckpointer commits asynchronously; block so 'latest' is
+        # durable before training proceeds (and before interpreter exit).
+        self.checkpointer.wait_until_finished()
+
+    def save_epoch(self, state, epoch: int, metric: Optional[float] = None):
+        self._save("latest", state)
+        if self.save_every and (epoch + 1) % self.save_every == 0:
+            self._save(f"epoch_{epoch + 1}", state)
+        if metric is not None and metric > self.best_metric:
+            self.best_metric = metric
+            self._save("best", state)
+
+    def restore(self, state, tag: str = "latest"):
+        """Restore into the structure of `state` (same model/optimizer)."""
+        path = self._path(tag)
+        template = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "ema_params": state.ema_params,
+            "step": state.step,
+        }
+        payload = self.checkpointer.restore(path, template)
+        return state.replace(
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+            ema_params=payload["ema_params"],
+            step=payload["step"],
+        )
+
+    def has(self, tag: str = "latest") -> bool:
+        return os.path.exists(self._path(tag))
+
+
+def load_pretrained_params(state, path: str, tag: str = "best"):
+    """Non-strict transfer-learning load (reference ``model/utils.py:125-129``):
+    copies leaves whose path+shape match; everything else keeps its fresh init."""
+    ckpt = CheckpointManager(path)
+    try:
+        donor = ckpt.restore(state, tag)
+    except Exception:
+        return state  # incompatible structure → fall back entirely
+
+    def merge(new, old):
+        return old if (hasattr(old, "shape") and old.shape == new.shape) else new
+
+    params = jax.tree.map(merge, state.params, donor.params)
+    return state.replace(params=params)

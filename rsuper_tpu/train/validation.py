@@ -1,0 +1,58 @@
+"""In-training validation: sliding-window inference per test case, Dice +
+surface distances per class.
+
+Reference: ``rsuper_train/training/validation.py`` (threshold 0.5 multi-label
+sigmoid, Dice via blockwise split, ASD/HD95 with NaN→500 clamp, per-class
+mean over cases containing the class). The DDP all_gather/pad-removal dance
+is unnecessary here: validation runs on the host process over device-computed
+probabilities.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence
+
+import numpy as np
+
+from ..inference import sliding_window_inference
+from ..metrics import average_surface_distance, dice_score, hausdorff95
+
+
+def validate_cases(
+    apply_fn: Callable,
+    params,
+    cases: Sequence,  # iterable of (image (D,H,W), labels (C,D,H,W))
+    num_classes: int,
+    window=(128, 128, 128),
+    threshold: float = 0.5,
+    compute_distances: bool = True,
+    batch: int = 4,
+) -> Dict[str, np.ndarray]:
+    """Returns per-class mean dice/asd/hd95 over cases where the class exists."""
+    dices = np.zeros(num_classes)
+    asds = np.zeros(num_classes)
+    hds = np.zeros(num_classes)
+    counts = np.zeros(num_classes)
+
+    for image, labels in cases:
+        probs = sliding_window_inference(
+            apply_fn, params, image, num_classes, window=window, batch=batch
+        )
+        pred = probs > threshold
+        for c in range(num_classes):
+            target = labels[c] > 0
+            if not target.any():
+                continue
+            counts[c] += 1
+            dices[c] += dice_score(pred[..., c], target)
+            if compute_distances:
+                asds[c] += average_surface_distance(pred[..., c], target)
+                hds[c] += hausdorff95(pred[..., c], target)
+
+    denom = np.maximum(counts, 1)
+    return {
+        "dice": dices / denom,
+        "asd": asds / denom,
+        "hd95": hds / denom,
+        "cases_per_class": counts,
+    }

@@ -1,0 +1,57 @@
+"""Logging + metrics sink.
+
+Reference (``rsuper_train/utils.py:10-39`` + TensorBoard writers in
+``train_ddp.py``): per-rank python logging, config snapshot to ``config.txt``,
+scalar curves. TensorBoard isn't guaranteed in this environment, so scalars
+land in an append-only JSONL the user can plot with anything (and TB if
+installed)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, Dict
+
+
+def setup_logger(exp_dir: str, name: str = "rsuper") -> logging.Logger:
+    os.makedirs(exp_dir, exist_ok=True)
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    if not logger.handlers:
+        fh = logging.FileHandler(os.path.join(exp_dir, "train.log"))
+        sh = logging.StreamHandler()
+        fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+        fh.setFormatter(fmt)
+        sh.setFormatter(fmt)
+        logger.addHandler(fh)
+        logger.addHandler(sh)
+    return logger
+
+
+def dump_config(exp_dir: str, cfg) -> None:
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "config.txt"), "w") as f:
+        if dataclasses.is_dataclass(cfg):
+            cfg = dataclasses.asdict(cfg)
+        for k, v in sorted(cfg.items()):
+            f.write(f"{k}: {v}\n")
+
+
+class MetricsLogger:
+    def __init__(self, exp_dir: str):
+        os.makedirs(exp_dir, exist_ok=True)
+        self.path = os.path.join(exp_dir, "metrics.jsonl")
+
+    def log(self, step: int, values: Dict[str, Any], prefix: str = ""):
+        rec = {"step": int(step), "time": time.time()}
+        for k, v in values.items():
+            key = f"{prefix}{k}" if prefix else k
+            try:
+                rec[key] = float(v)
+            except (TypeError, ValueError):
+                rec[key] = v
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Training CLI — the TPU-native counterpart of the reference's
+``rsuper_train/train_ddp.py``.
+
+Single entry point, no process spawner: one host process drives every local
+chip through a data-parallel mesh. Example:
+
+    python train.py --preset abdomenatlas_ufo/medformer_3d \\
+        --data_root /data/masks_npz --report_root /data/reports_npz \\
+        --reports /data/per_tumor.csv --unique_name run1
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="abdomenatlas_ufo/medformer_3d")
+    p.add_argument("--config", default=None, help="YAML config overriding the preset")
+    p.add_argument("--data_root", default=None, help="mask-dataset npz dir")
+    p.add_argument("--report_root", default=None, help="report-dataset npz dir")
+    p.add_argument("--reports", default=None, help="per-tumor metadata CSV")
+    p.add_argument("--arch", default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--iter_per_epoch", type=int, default=None)
+    p.add_argument("--lr", dest="base_lr", type=float, default=None)
+    p.add_argument("--loss", default=None)
+    p.add_argument("--report_volume_loss_basic", type=float, default=None)
+    p.add_argument("--unique_name", default=None)
+    p.add_argument("--cp_path", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--pretrained", default=None)
+    p.add_argument("--all_train", action="store_true")
+    p.add_argument("--max_steps", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def discover_cases(root):
+    """All preprocessed cases under `root`: (case_id, path) from *.npz."""
+    out = []
+    for path in sorted(glob.glob(os.path.join(root, "*.npz"))):
+        out.append((os.path.splitext(os.path.basename(path))[0], path))
+    return out
+
+
+def load_classes(root):
+    meta = os.path.join(root, "classes.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return tuple(sorted(json.load(f)))
+    raise FileNotFoundError(
+        f"{meta} not found: write the sorted class list used at preprocessing"
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from rsuper_tpu.config import load_config
+
+    overrides = {
+        k: v
+        for k, v in vars(args).items()
+        if k not in ("preset", "config", "all_train", "max_steps") and v is not None
+    }
+    if args.resume:
+        overrides["resume"] = True
+    cfg = load_config(args.preset, args.config, overrides)
+
+    from rsuper_tpu.data.dataset import (
+        RSuperDataConfig,
+        RSuperDataset,
+        build_case_list,
+        split_train_test,
+    )
+    from rsuper_tpu.data.reports import clean_reports, load_reports
+    from rsuper_tpu.models import get_model
+    from rsuper_tpu.train.loop import train
+    import jax.numpy as jnp
+
+    classes = cfg.classes or load_classes(cfg.data_root)
+    report_classes = cfg.report_classes or (
+        load_classes(cfg.report_root) if cfg.report_root else ()
+    )
+
+    mask_cases = discover_cases(cfg.data_root) if cfg.data_root else []
+    report_cases = discover_cases(cfg.report_root) if cfg.report_root else []
+    report_rows = None
+    if cfg.reports:
+        rows = load_reports(cfg.reports)
+        ids = {c for c, _ in report_cases}
+        rows = rows[rows["BDMAP_ID"].isin(ids)]
+        rows, usable, _ = clean_reports(rows, list(cfg.tumor_classes))
+        report_cases = [(c, p) for c, p in report_cases if c in set(usable)]
+        report_rows = rows
+
+    cases = build_case_list(mask_cases, report_cases,
+                            balance=cfg.balance_supervision, seed=cfg.seed)
+    if args.all_train:
+        train_cases, test_cases = cases, []
+    else:
+        train_cases, test_cases = split_train_test(cases, seed=cfg.seed)
+
+    dcfg = RSuperDataConfig(
+        classes=tuple(classes),
+        report_classes=tuple(report_classes),
+        crop_size=tuple(cfg.training_size),
+        tumor_classes=tuple(cfg.tumor_classes),
+    )
+    dataset = RSuperDataset(train_cases, dcfg, report_rows=report_rows)
+
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    model = get_model(cfg.arch, len(classes), cfg.model_args, dtype=dtype)
+    train(cfg, model, dataset, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()
