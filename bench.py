@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark: R-Super training throughput on one TPU chip.
+
+Measures the FULL R-Super train step — MedFormer 3D forward+backward with the
+complete loss stack (masked BCE + adaptive-Tversky Dice + Volume Loss + Ball
+Loss, `ball_dice_last` routing) + AdamW + EMA — on 96³ CT patches, and prints
+one JSON line:
+
+    {"metric": "train_patches_per_sec_per_chip_96", "value": ..., ...}
+
+vs_baseline: the reference trains MedFormer fp32 on A100s (AMP disabled as
+unstable, ``train_ddp.py:315``; >30 GB at 128³ / ~20 GB at 96³ per
+``Merlin_demo.md:156-181``) but publishes no throughput. The baseline used
+here is 2.0 patches/s/GPU at 96³ — an fp32-A100 estimate for this ~3.5
+TFLOP/patch forward+backward at typical 3D-conv utilisation — so
+vs_baseline = value / 2.0. BASELINE.md records that throughput must be
+measured fresh; this constant makes the ratio's meaning explicit.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_PATCHES_PER_SEC = 2.0
+BATCH = 2
+SIZE = 96
+CLASSES = [
+    "background", "aorta", "gall_bladder", "kidney_left", "kidney_right",
+    "kidney_lesion", "liver", "liver_lesion", "pancreas", "pancreas_head",
+    "pancreas_body", "pancreas_tail", "pancreatic_lesion", "postcava",
+    "spleen", "stomach",
+]
+
+
+def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+
+    from rsuper_tpu.losses import LesionChannelMap, LossConfig
+    from rsuper_tpu.models import get_model
+    from rsuper_tpu.train import build_train_step, make_optimizer
+    from rsuper_tpu.train.loop import init_params_on_host
+    from rsuper_tpu.train.state import TrainState
+
+    dev = jax.devices()[0]
+    lmap = LesionChannelMap.from_classes(CLASSES)
+    C = len(CLASSES)
+    model = get_model("medformer", C, {}, dtype=jnp.bfloat16)
+    tx = make_optimizer(base_lr=6e-4, warmup_epochs=0, max_epochs=100,
+                        steps_per_epoch=1000)
+
+    rng = np.random.default_rng(0)
+    ci = CLASSES.index("pancreatic_lesion")
+    seg = np.zeros((BATCH, SIZE, SIZE, SIZE, C), np.float32)
+    seg[0, 24:72, 24:72, 24:72, ci] = 1.0
+    lab = np.zeros_like(seg)
+    lab[1, 20:60, 20:60, 20:60, CLASSES.index("pancreas")] = 1.0
+    vols = np.zeros((BATCH, 10), np.float32)
+    vols[0, :2] = [4000.0, 900.0]
+    dias = np.zeros((BATCH, 10, 3), np.float32)
+    dias[0, 0] = [20.0, 18.0, 16.0]
+    dias[0, 1] = [12.0, 12.0, 10.0]
+    batch = {
+        "image": rng.normal(size=(BATCH, SIZE, SIZE, SIZE, 1)).astype(np.float32),
+        "label": lab,
+        "unk": seg.copy(),
+        "segment_mask": seg,
+        "volumes": vols,
+        "diameters": dias,
+    }
+    batch = {k: jax.device_put(jnp.asarray(v), dev) for k, v in batch.items()}
+
+    params = init_params_on_host(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, SIZE, 1))
+    )
+    state = TrainState(
+        params=jax.device_put(params, dev),
+        opt_state=jax.device_put(tx.init(params), dev),
+        ema_params=jax.device_put(jax.tree.map(jnp.copy, params), dev),
+        step=jax.device_put(jnp.zeros((), jnp.int32), dev),
+        tx=tx,
+    )
+
+    step = build_train_step(model, lmap, LossConfig(loss="ball_dice_last"))
+
+    # warm-up / compile
+    state, losses = step(state, batch)
+    _ = float(losses["overall"])  # full sync
+
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        state, losses = step(state, batch)
+    _ = float(losses["overall"])  # sync the whole chain
+    elapsed = time.time() - t0
+
+    value = BATCH * iters / elapsed
+    print(json.dumps({
+        "metric": "train_patches_per_sec_per_chip_96",
+        "value": round(value, 3),
+        "unit": "96^3 CT patches/s/chip (MedFormer fwd+bwd, full R-Super losses)",
+        "vs_baseline": round(value / BASELINE_PATCHES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,233 @@
+"""Batch prediction: preprocessing → sliding-window → organ-gated postprocess.
+
+Functional equivalent of the reference's ``rsuper_train/predict_abdomenatlas.py``:
+* preprocess (:325): reorient + resample 1 mm³ + clip/normalize + pad;
+* sliding-window prediction (with optional checkpoint ensemble, huge-scan
+  z-chunking :191-222, EMA weights);
+* postprocess (:389-509): organs thresholded first; each lesion channel is
+  multiplied by its dilated (3³) predicted organ mask, with kidney /
+  adrenal / lung left+right merging and the uterus→prostate fallback;
+  optional largest-connected-component cleanup (:692);
+* per-class NIfTI outputs in the original geometry; resumable by skipping
+  ids with existing outputs (:928-960); failures are logged to
+  ``prediction_errors.txt`` and skipped (:1141-1146).
+"""
+
+from __future__ import annotations
+
+import os
+import traceback
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+from scipy import ndimage as ndi
+
+from ..data.nifti import NiftiImage, as_canonical, read_nifti, write_nifti
+from ..data.preprocess import clip_and_normalize, pad_to_min_size, resample_to_spacing
+from .sliding_window import sliding_window_inference
+
+Z_CHUNK = 800  # reference: z-chunking for >800-slice scans
+
+
+def keep_largest_component(mask: np.ndarray) -> np.ndarray:
+    lab, n = ndi.label(mask > 0)
+    if n <= 1:
+        return (mask > 0).astype(np.uint8)
+    counts = np.bincount(lab.ravel())
+    counts[0] = 0
+    return (lab == int(np.argmax(counts))).astype(np.uint8)
+
+
+def organ_mask_for_lesion(
+    lesion_class: str, organ_masks: Dict[str, np.ndarray]
+) -> Optional[np.ndarray]:
+    """The reference's lesion→organ routing (:453-476): paired-organ merging,
+    uterus→prostate fallback, all-ones for organs without masks."""
+    organ = lesion_class.split("_")[0].replace("pancreatic", "pancreas")
+    pairs = {
+        "kidney": ("kidney_right", "kidney_left"),
+        "adrenal": ("adrenal_gland_right", "adrenal_gland_left"),
+        "lung": ("lung_right", "lung_left"),
+    }
+    if organ in pairs:
+        a, b = pairs[organ]
+        if a in organ_masks and b in organ_masks:
+            return ((organ_masks[a] > 0) | (organ_masks[b] > 0)).astype(np.uint8)
+        return None
+    if organ == "uterus":
+        return organ_masks.get("prostate")
+    if organ == "gallbladder":
+        return organ_masks.get("gall_bladder")
+    if organ in ("bone", "breast"):
+        any_mask = next(iter(organ_masks.values()), None)
+        return None if any_mask is None else np.ones_like(any_mask)
+    return organ_masks.get(organ)
+
+
+def postprocess_prediction(
+    probs: np.ndarray,
+    classes: Sequence[str],
+    threshold: float = 0.5,
+    organ_mask_on_lesion: bool = True,
+    connected_components: bool = False,
+    organ_dilation: int = 3,
+) -> Dict[str, np.ndarray]:
+    """probs (D, H, W, C) → {class: binary mask}, organs first, lesions gated
+    by their dilated organ masks."""
+    masks: Dict[str, np.ndarray] = {}
+    for i, cls in enumerate(classes):
+        if "lesion" in cls:
+            continue
+        masks[cls] = (probs[..., i] > threshold).astype(np.uint8)
+    for i, cls in enumerate(classes):
+        if "lesion" not in cls:
+            continue
+        lesion = (probs[..., i] > threshold).astype(np.uint8)
+        if organ_mask_on_lesion:
+            organ = organ_mask_for_lesion(cls, masks)
+            if organ is not None:
+                organ = ndi.binary_dilation(
+                    organ > 0, structure=np.ones((3,) * 3), iterations=organ_dilation
+                )
+                lesion = lesion * organ.astype(np.uint8)
+        if connected_components:
+            lesion = keep_largest_component(lesion)
+        masks[cls] = lesion
+    return masks
+
+
+def preprocess_volume(path: str, min_size=(128, 128, 128)):
+    """NIfTI → normalized 1 mm³ canonical volume + restore metadata."""
+    img = as_canonical(read_nifti(path, dtype=np.float32))
+    spacing = img.spacing
+    vol = resample_to_spacing(img.data, spacing, (1.0, 1.0, 1.0), order=3)
+    resampled_shape = vol.shape
+    vol = clip_and_normalize(vol)
+    vol = pad_to_min_size(vol, min_size)
+    return vol, {
+        "affine": img.affine,
+        "orig_shape": img.data.shape,
+        "spacing": spacing,
+        "resampled_shape": resampled_shape,
+        "padded_shape": vol.shape,
+    }
+
+
+def restore_geometry(mask: np.ndarray, meta: Dict, order: int = 0) -> np.ndarray:
+    """Unpad + resample a 1 mm³ prediction back to original voxel grid."""
+    rs = meta["resampled_shape"]
+    mask = mask[: rs[0], : rs[1], : rs[2]]
+    out = resample_to_spacing(mask.astype(np.uint8), (1.0, 1.0, 1.0),
+                              meta["spacing"], order=order)
+    # rounding can leave off-by-one shapes; crop/pad to the canonical shape
+    target = meta["orig_shape"]
+    out = out[: target[0], : target[1], : target[2]]
+    pads = [(0, t - s) for t, s in zip(target, out.shape)]
+    if any(p[1] for p in pads):
+        out = np.pad(out, pads)
+    return out
+
+
+def predict_volume(
+    apply_fns: Sequence[Callable],
+    params_list: Sequence,
+    volume: np.ndarray,
+    num_classes: int,
+    window=(128, 128, 128),
+    batch: int = 4,
+    organ_mask: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Ensemble-averaged probabilities with z-chunking for huge scans."""
+    def run(vol):
+        acc = None
+        for fn, params in zip(apply_fns, params_list):
+            p = sliding_window_inference(
+                fn, params, vol, num_classes, window=window, batch=batch,
+                organ_mask=organ_mask,
+            )
+            acc = p if acc is None else acc + p
+        return acc / len(apply_fns)
+
+    D = volume.shape[0]
+    if D <= Z_CHUNK:
+        return run(volume)
+    halo = window[0]
+    probs = np.zeros(volume.shape + (num_classes,), np.float32)
+    z = 0
+    while z < D:
+        z1 = min(z + Z_CHUNK, D)
+        lo, hi = max(0, z - halo), min(D, z1 + halo)
+        chunk = run(volume[lo:hi])
+        probs[z:z1] = chunk[z - lo : z - lo + (z1 - z)]
+        z = z1
+    return probs
+
+
+def predict_folder(
+    apply_fns,
+    params_list,
+    input_dir: str,
+    output_dir: str,
+    classes: Sequence[str],
+    window=(128, 128, 128),
+    batch: int = 4,
+    threshold: float = 0.5,
+    organ_mask_on_lesion: bool = True,
+    connected_components: bool = False,
+    save_probabilities: bool = False,
+    ids: Optional[Sequence[str]] = None,
+    parts: int = 1,
+    part: int = 0,
+    resume: bool = True,
+) -> List[str]:
+    """Predict every NIfTI CT in `input_dir`; per-class masks under
+    ``output_dir/<id>/``. Supports parts-sharding and resume."""
+    os.makedirs(output_dir, exist_ok=True)
+    vols = sorted(
+        f for f in os.listdir(input_dir) if f.endswith((".nii", ".nii.gz"))
+    )
+    if ids is not None:
+        keep = set(ids)
+        vols = [f for f in vols if f.split(".nii")[0] in keep]
+    vols = vols[part::parts]
+
+    done = []
+    for fname in vols:
+        case = fname.split(".nii")[0]
+        case_dir = os.path.join(output_dir, case)
+        marker = os.path.join(case_dir, "done")
+        if resume and os.path.exists(marker):
+            done.append(case)
+            continue
+        try:
+            vol, meta = preprocess_volume(os.path.join(input_dir, fname),
+                                          min_size=window)
+            probs = predict_volume(apply_fns, params_list, vol, len(classes),
+                                   window=window, batch=batch)
+            masks = postprocess_prediction(
+                probs, classes, threshold=threshold,
+                organ_mask_on_lesion=organ_mask_on_lesion,
+                connected_components=connected_components,
+            )
+            os.makedirs(case_dir, exist_ok=True)
+            for cls, m in masks.items():
+                write_nifti(
+                    os.path.join(case_dir, f"{cls}.nii.gz"),
+                    restore_geometry(m, meta),
+                    meta["affine"],
+                )
+            if save_probabilities:
+                for i, cls in enumerate(classes):
+                    if "lesion" in cls:
+                        write_nifti(
+                            os.path.join(case_dir, f"{cls}_prob.nii.gz"),
+                            probs[..., i].astype(np.float32),
+                            np.eye(4),
+                        )
+            with open(marker, "w") as f:
+                f.write("ok\n")
+            done.append(case)
+        except Exception:
+            with open(os.path.join(output_dir, "prediction_errors.txt"), "a") as f:
+                f.write(f"{case}\n{traceback.format_exc()}\n")
+    return done

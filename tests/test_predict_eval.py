@@ -1,0 +1,159 @@
+"""Predict CLI postprocessing + detection/eval harness tests."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rsuper_tpu.eval.detection import detect_volumes, detection_table
+from rsuper_tpu.eval.sens_spec import (
+    best_f1,
+    evaluate_detection,
+    load_ground_truth,
+    prob_auc,
+    sensitivity_specificity_f1,
+)
+from rsuper_tpu.data.nifti import write_nifti
+from rsuper_tpu.inference.predict import (
+    keep_largest_component,
+    organ_mask_for_lesion,
+    postprocess_prediction,
+    predict_volume,
+    restore_geometry,
+    preprocess_volume,
+)
+
+CLASSES = ["kidney_left", "kidney_right", "pancreas", "pancreatic_lesion",
+           "kidney_lesion"]
+
+
+def test_postprocess_organ_gating():
+    S = 32
+    probs = np.zeros((S, S, S, len(CLASSES)), np.float32)
+    probs[..., CLASSES.index("pancreas")][8:16, 8:16, 8:16] = 0.9
+    # lesion predicted inside + far outside the pancreas
+    li = CLASSES.index("pancreatic_lesion")
+    probs[10:14, 10:14, 10:14, li] = 0.9
+    probs[25:30, 25:30, 25:30, li] = 0.9
+    masks = postprocess_prediction(probs, CLASSES)
+    assert masks["pancreatic_lesion"][11, 11, 11] == 1
+    assert masks["pancreatic_lesion"][27, 27, 27] == 0  # gated away
+    # kidney lesion uses left+right union
+    probs2 = np.zeros_like(probs)
+    probs2[..., CLASSES.index("kidney_left")][2:6, 2:6, 2:6] = 0.9
+    probs2[..., CLASSES.index("kidney_lesion")][3:5, 3:5, 3:5] = 0.9
+    masks2 = postprocess_prediction(probs2, CLASSES)
+    assert masks2["kidney_lesion"].sum() > 0
+
+
+def test_keep_largest_component():
+    m = np.zeros((20, 20, 20), np.uint8)
+    m[2:10, 2:10, 2:10] = 1
+    m[15:17, 15:17, 15:17] = 1
+    out = keep_largest_component(m)
+    assert out[3, 3, 3] == 1 and out[16, 16, 16] == 0
+
+
+def test_organ_mask_routing():
+    masks = {"kidney_left": np.ones((4, 4, 4)), "kidney_right": np.zeros((4, 4, 4)),
+             "prostate": np.ones((4, 4, 4))}
+    assert organ_mask_for_lesion("kidney_lesion", masks).sum() == 64
+    assert organ_mask_for_lesion("uterus_lesion", masks).sum() == 64
+    assert organ_mask_for_lesion("bone_lesion", masks).sum() == 64
+
+
+def test_predict_volume_z_chunking():
+    import jax.numpy as jnp
+
+    def apply_fn(params, x):
+        return jnp.full(x.shape[:-1] + (1,), 3.0)
+
+    import rsuper_tpu.inference.predict as P
+    old = P.Z_CHUNK
+    P.Z_CHUNK = 24
+    try:
+        vol = np.zeros((60, 16, 16), np.float32)
+        probs = predict_volume([apply_fn], [None], vol, 1, window=(16, 16, 16),
+                               batch=2)
+    finally:
+        P.Z_CHUNK = old
+    expect = 1.0 / (1.0 + np.exp(-3.0))
+    np.testing.assert_allclose(probs[..., 0], expect, rtol=1e-5)
+
+
+def test_preprocess_restore_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    ct = rng.normal(size=(24, 20, 16)).astype(np.float32) * 100
+    aff = np.diag([2.0, 2.0, 2.0, 1.0])
+    p = str(tmp_path / "ct.nii.gz")
+    write_nifti(p, ct, aff)
+    vol, meta = preprocess_volume(p, min_size=(16, 16, 16))
+    assert vol.shape == (48, 40, 32)
+    mask = np.ones(vol.shape, np.uint8)
+    back = restore_geometry(mask, meta)
+    assert back.shape == ct.shape
+    assert back.mean() > 0.9
+
+
+# ----------------------------------------------------------------- detection
+def test_detect_volumes_denoise():
+    prob = np.zeros((30, 30, 30), np.float32)
+    prob[5:15, 5:15, 5:15] = 0.7  # solid blob: survives erosion
+    prob[20, 20, 20] = 0.95  # single-voxel noise: eroded away
+    det = detect_volumes(prob)
+    assert det["max_prob"] == pytest.approx(0.95)
+    assert det["volumes"][0.5] == 1000  # blob only (10^3), noise removed
+    assert det["volumes"][0.8] == 0
+
+
+def test_detection_table_and_eval(tmp_path):
+    # two cases: one with a pancreatic lesion blob, one clean
+    for case, has in [("BDMAP_X", True), ("BDMAP_Y", False)]:
+        d = tmp_path / case
+        d.mkdir()
+        prob = np.zeros((24, 24, 24), np.float32)
+        if has:
+            prob[4:12, 4:12, 4:12] = 0.8
+        write_nifti(str(d / "pancreatic_lesion_prob.nii.gz"), prob, np.eye(4))
+    tables = detection_table(str(tmp_path), organs=("pancreatic",))
+    df = tables[0.5]
+    assert set(df.BDMAP_ID) == {"BDMAP_X", "BDMAP_Y"}
+    vx = df[df.BDMAP_ID == "BDMAP_X"]["pancreatic tumor volume predicted"].iloc[0]
+    assert vx > 100
+
+    gt = pd.DataFrame({
+        "BDMAP_ID": ["BDMAP_X", "BDMAP_Y"],
+        "gt_pancreatic": [1.0, 0.0],
+    })
+    ev = evaluate_detection(gt, tables, organs=("pancreatic",),
+                            volume_thresholds=(10.0, 1e6))
+    df5 = ev[0.5]
+    r = df5[df5.threshold == 10.0].iloc[0]
+    assert r["pancreatic_sens"] == 1.0 and r["pancreatic_spec"] == 1.0
+    assert r["pancreatic_f1"] == 1.0
+    assert r["pancreatic_auc_prob"] == 1.0
+    best = best_f1(ev, "pancreatic")
+    assert best["f1"] == 1.0
+
+
+def test_sens_spec_f1_math():
+    gt = np.array([1, 1, 0, 0])
+    vols = np.array([100.0, 5.0, 200.0, 1.0])
+    m = sensitivity_specificity_f1(gt, vols, 50.0)
+    assert m["sens"] == 0.5 and m["spec"] == 0.5
+    assert m["f1"] == pytest.approx(0.5)
+
+
+def test_load_ground_truth(tmp_path):
+    df = pd.DataFrame({
+        "BDMAP ID": ["a", "b"],
+        "number of liver lesion instances": [2, 0],
+        "number of pancreatic lesion instances": [0, 1],
+        "number of kidney lesion instances": [np.nan, 3],
+    })
+    p = str(tmp_path / "gt.csv")
+    df.to_csv(p, index=False)
+    gt = load_ground_truth(p)
+    assert gt.loc[0, "gt_liver"] == 1 and gt.loc[1, "gt_liver"] == 0
+    assert gt.loc[0, "gt_kidney"] == 0
