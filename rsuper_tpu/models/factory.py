@@ -12,8 +12,12 @@ from typing import Any, Dict
 
 import jax.numpy as jnp
 
+from .attention_unet import AttentionUNet
 from .medformer import MedFormer
 from .unet3d import UNet3D
+from .unetpp import UNetPlusPlus
+from .unetr import UNETR
+from .vnet import VNet
 
 
 def _unet(args: Dict[str, Any], num_classes: int, dtype):
@@ -59,10 +63,43 @@ def _medformer(args, num_classes, dtype):
     )
 
 
+def _vnet(args, num_classes, dtype):
+    return VNet(num_classes=num_classes, base_chan=args.get("base_chan", 16),
+                dtype=dtype)
+
+
+def _unetr(args, num_classes, dtype):
+    return UNETR(
+        num_classes=num_classes,
+        img_size=tuple(args.get("img_size", (96, 96, 96))),
+        feature_size=args.get("feature_size", 16),
+        hidden_size=args.get("hidden_size", 768),
+        mlp_dim=args.get("mlp_dim", 3072),
+        num_heads=args.get("num_heads", 12),
+        num_layers=args.get("num_layers", 12),
+        dtype=dtype,
+    )
+
+
+def _attention_unet(args, num_classes, dtype):
+    return AttentionUNet(num_classes=num_classes,
+                         base_chan=args.get("base_chan", 32), dtype=dtype)
+
+
+def _unetpp(args, num_classes, dtype):
+    return UNetPlusPlus(num_classes=num_classes,
+                        base_chan=args.get("base_chan", 32),
+                        depth=args.get("depth", 4), dtype=dtype)
+
+
 MODEL_REGISTRY = {
     "unet": _unet,
     "resunet": _resunet,
     "medformer": _medformer,
+    "vnet": _vnet,
+    "unetr": _unetr,
+    "attention_unet": _attention_unet,
+    "unetpp": _unetpp,
 }
 
 

@@ -64,3 +64,22 @@ def test_medformer_gradients_finite():
 def test_model_factory_unknown():
     with pytest.raises(ValueError):
         get_model("nope", 2)
+
+
+@pytest.mark.parametrize("arch,args", [
+    ("vnet", {"base_chan": 8}),
+    ("attention_unet", {"base_chan": 4}),
+    ("unetpp", {"base_chan": 4, "depth": 3}),
+])
+def test_model_zoo_alternatives(arch, args):
+    _, _, out = _init_and_run(arch, args)
+    assert out["segmentation"].shape == (1, 32, 32, 32, 5)
+
+
+def test_unetr():
+    _, _, out = _init_and_run(
+        "unetr",
+        {"img_size": (32, 32, 32), "hidden_size": 64, "mlp_dim": 128,
+         "num_heads": 4, "num_layers": 4, "feature_size": 8},
+    )
+    assert out["segmentation"].shape == (1, 32, 32, 32, 5)
