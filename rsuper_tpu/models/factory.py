@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from .attention_unet import AttentionUNet
 from .medformer import MedFormer
+from .swin_unetr import SwinUNETR
 from .unet3d import UNet3D
 from .unetpp import UNetPlusPlus
 from .unetr import UNETR
@@ -92,6 +93,17 @@ def _unetpp(args, num_classes, dtype):
                         depth=args.get("depth", 4), dtype=dtype)
 
 
+def _swin_unetr(args, num_classes, dtype):
+    return SwinUNETR(
+        num_classes=num_classes,
+        feature_size=args.get("feature_size", 48),
+        depths=tuple(args.get("depths", (2, 2, 2, 2))),
+        num_heads=tuple(args.get("num_heads", (3, 6, 12, 24))),
+        window_size=args.get("window_size", 4),
+        dtype=dtype,
+    )
+
+
 MODEL_REGISTRY = {
     "unet": _unet,
     "resunet": _resunet,
@@ -100,6 +112,7 @@ MODEL_REGISTRY = {
     "unetr": _unetr,
     "attention_unet": _attention_unet,
     "unetpp": _unetpp,
+    "swin_unetr": _swin_unetr,
 }
 
 

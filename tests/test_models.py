@@ -83,3 +83,11 @@ def test_unetr():
          "num_heads": 4, "num_layers": 4, "feature_size": 8},
     )
     assert out["segmentation"].shape == (1, 32, 32, 32, 5)
+
+
+def test_swin_unetr():
+    _, _, out = _init_and_run(
+        "swin_unetr", {"feature_size": 12, "num_heads": (2, 2, 2, 2),
+                       "window_size": 2, "depths": (2, 2, 2, 2)}
+    )
+    assert out["segmentation"].shape == (1, 32, 32, 32, 5)
