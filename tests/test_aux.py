@@ -154,3 +154,35 @@ def test_per_tumor_feeds_training_reports():
     _, ids, per_organ = clean_reports(per_tumor, ["pancreas"])
     assert "C1" in ids and "C2" in ids
     assert "C1" in per_organ["pancreas"]
+
+
+# ------------------------------------------------------------ matcher / clip
+def test_hungarian_match():
+    from rsuper_tpu.losses.matcher import hungarian_match
+
+    S = 8
+    labels = np.zeros((S, S, S, 2), np.float32)
+    labels[1:4, 1:4, 1:4, 0] = 1
+    labels[5:7, 5:7, 5:7, 1] = 1
+    preds = labels[..., ::-1].copy()  # channels swapped
+    ri, ci = hungarian_match(preds, labels)
+    assert list(ri) == [0, 1] and list(ci) == [1, 0]
+
+
+def test_clip_record_adapter(tmp_path):
+    from rsuper_tpu.data.clip import ClipRecordAdapter, ReportEmbeddingStore
+
+    class FakeDS:
+        class _C:
+            case_id = "X"
+        cases = [_C()]
+        def __len__(self):
+            return 1
+        def sample(self, i, rng=None):
+            return {"image": np.zeros((4, 4, 4), np.float32)}
+
+    np.save(str(tmp_path / "X.npy"), np.ones(16, np.float32))
+    ad = ClipRecordAdapter(FakeDS(), ReportEmbeddingStore(str(tmp_path)), dim=16)
+    rec = ad.sample(0)
+    assert rec["report_embedding"].shape == (16,)
+    assert rec["report_embedding"].sum() == 16
