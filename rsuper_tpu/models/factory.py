@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from .attention_unet import AttentionUNet
 from .medformer import MedFormer
+from .nnformer import NnFormer, VTUNet
 from .swin_unetr import SwinUNETR
 from .unet3d import UNet3D
 from .unetpp import UNetPlusPlus
@@ -113,6 +114,17 @@ MODEL_REGISTRY = {
     "attention_unet": _attention_unet,
     "unetpp": _unetpp,
     "swin_unetr": _swin_unetr,
+    "nnformer": lambda a, n, d: NnFormer(
+        num_classes=n, embed_dim=a.get("embed_dim", 48),
+        depths=tuple(a.get("depths", (2, 2, 2))),
+        num_heads=tuple(a.get("num_heads", (3, 6, 12))),
+        window_size=a.get("window_size", 4),
+        aux_loss=a.get("aux_loss", True), dtype=d),
+    "vtunet": lambda a, n, d: VTUNet(
+        num_classes=n, embed_dim=a.get("embed_dim", 48),
+        depths=tuple(a.get("depths", (2, 2, 2))),
+        num_heads=tuple(a.get("num_heads", (3, 6, 12))),
+        window_size=a.get("window_size", 4), dtype=d),
 }
 
 

@@ -91,3 +91,15 @@ def test_swin_unetr():
                        "window_size": 2, "depths": (2, 2, 2, 2)}
     )
     assert out["segmentation"].shape == (1, 32, 32, 32, 5)
+
+
+def test_nnformer_and_vtunet():
+    _, _, out = _init_and_run(
+        "nnformer", {"embed_dim": 8, "num_heads": (2, 2, 2), "window_size": 2}
+    )
+    main, aux = out["segmentation"]
+    assert main.shape == aux.shape == (1, 32, 32, 32, 5)
+    _, _, out = _init_and_run(
+        "vtunet", {"embed_dim": 8, "num_heads": (2, 2, 2), "window_size": 2}
+    )
+    assert out["segmentation"].shape == (1, 32, 32, 32, 5)
