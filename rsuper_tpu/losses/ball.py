@@ -47,12 +47,30 @@ from jax import lax
 
 from ..ops.balls import ball_kernel_wrapped, fft_ball_conv, insert_ball, odd_ceil
 from ..ops.gwrp import gwrp_weights_binned
-from ..ops.morphology import dilate
+from ..ops.morphology import dilate_cf
 from ..ops.selection import topn_mask
 from .lesions import LesionChannelMap
-from .seg import adaptive_tversky_dice, bce_with_logits
+from .seg import bce_with_logits
 
 _SPATIAL3 = (0, 1, 2)
+
+
+def _tversky_cf(preds, targets, known, class_weights=None, smooth: float = 1e-5):
+    """Adaptive-Tversky Dice on channel-FIRST (C, D, H, W) single-item masks
+    (same math as ``seg.adaptive_tversky_dice``; spatial-minor layout keeps
+    tiny lesion channel counts out of the TPU lane dim)."""
+    p = jax.nn.sigmoid(preds.astype(jnp.float32)) * known
+    t = targets.astype(jnp.float32) * known
+    tp, fp, fn = p * t, p * (1.0 - t), (1.0 - p) * t
+    fp_c = jnp.sum(fp, axis=(-3, -2, -1))
+    fn_c = jnp.sum(fn, axis=(-3, -2, -1))
+    alpha = jnp.clip(fp_c / (fp_c + fn_c + smooth), 0.2, 0.8)
+    num = jnp.sum(tp, axis=(-3, -2, -1))
+    den = num + alpha * fp_c + (1.0 - alpha) * jnp.sum(fn, axis=(-3, -2, -1))
+    loss = 1.0 - num / (den + smooth)  # (C,)
+    if class_weights is not None:
+        loss = loss * class_weights
+    return jnp.mean(loss)
 
 
 class BallLossConfig(NamedTuple):
@@ -161,12 +179,16 @@ def isolate_tumor(x, diameter, volume, cfg: BallLossConfig):
 
     def fb_body(state):
         m, it = state
-        # (3, D, H, W) -> channels-last for the depthwise dilation, and back
-        m = jnp.moveaxis(dilate(jnp.moveaxis(m, 0, -1), 7), -1, 0)
+        m = dilate_cf(m, 7)  # (3, D, H, W), spatial-minor
         return m * ball[None], it + 1
 
     masks, _ = lax.while_loop(fb_cond, fb_body, (masks, jnp.int32(0)))
     return masks[0], masks[1], masks[2]
+
+
+def _dilate3(m, k):
+    """(3, D, H, W) stack dilation, spatial-minor layout."""
+    return dilate_cf(m, k)
 
 
 def _tumor_branch(x_logits, tumor_seg, penalize, volumes, diameters, cfg, c_weight):
@@ -212,7 +234,7 @@ def _tumor_branch(x_logits, tumor_seg, penalize, volumes, diameters, cfg, c_weig
     pseudo = union(m_small_all if cfg.use_small_pseudo_mask else m_all)
     big = union(m_big_all)
     if cfg.dilation_for_background > 0:
-        big = dilate(big, cfg.dilation_for_background)
+        big = dilate_cf(big, cfg.dilation_for_background)
     border = jnp.clip(big - pseudo, 0.0, 1.0)
     penalize = penalize * (1.0 - border)
 
@@ -239,27 +261,17 @@ def _tumor_branch(x_logits, tumor_seg, penalize, volumes, diameters, cfg, c_weig
         loss_bg = jnp.mean(bce * (1.0 - big))
         loss_bce = (loss_fg + loss_bg) * c_weight
 
-    dice = adaptive_tversky_dice(
-        x_logits[None, ..., None],
-        pseudo[None, ..., None],
-        penalize[None, ..., None],
-        sigmoid=True,
-    )
+    dice = _tversky_cf(x_logits[None], pseudo[None], penalize[None])
     return loss_bce, dice * c_weight
 
 
 def _no_tumor_branch(out_logits, to_penalize, cw_lesion):
     """BCE toward zero over the penalisable region for all lesion channels
-    (reference :1624-1661). out_logits/to_penalize: (D, H, W, L); cw: (L,)."""
+    (reference :1624-1661). out_logits/to_penalize: (L, D, H, W); cw: (L,)."""
     bce = bce_with_logits(out_logits, jnp.zeros_like(out_logits)) * to_penalize
-    loss = jnp.mean(bce * cw_lesion)
-    dice = adaptive_tversky_dice(
-        out_logits[None],
-        jnp.zeros_like(out_logits)[None],
-        to_penalize[None],
-        sigmoid=True,
-        class_weights=cw_lesion[None],
-    )
+    loss = jnp.mean(bce * cw_lesion[:, None, None, None])
+    dice = _tversky_cf(out_logits, jnp.zeros_like(out_logits), to_penalize,
+                       class_weights=cw_lesion)
     return loss, dice
 
 
@@ -284,21 +296,26 @@ def ball_loss(
 
     Returns dict {'ball_loss_bce', 'ball_loss_dice'} of scalars.
     """
-    out = lmap.merge(logits)  # (B, D, H, W, L)
-    seg = dilate(lmap.merge(chosen_segment_mask).astype(jnp.float32), cfg.subseg_dilation)
-    unk = dilate(lmap.merge(unk_voxels).astype(jnp.float32), cfg.unk_dilation)
-    lab = lmap.merge(labels).astype(jnp.float32)
+    # Channel-first internal layout (B, L, D, H, W) — see volume.py note on
+    # tiny-lane-count padding.
+    to_cf = lambda t: jnp.moveaxis(t, -1, 1)
+    out = to_cf(lmap.merge(logits))
+    seg = dilate_cf(to_cf(lmap.merge(chosen_segment_mask)).astype(jnp.float32),
+                    cfg.subseg_dilation)
+    unk = dilate_cf(to_cf(lmap.merge(unk_voxels)).astype(jnp.float32),
+                    cfg.unk_dilation)
+    lab = to_cf(lmap.merge(labels)).astype(jnp.float32)
 
     to_penalize = (
         (1.0 - unk) * (1.0 - lab) + seg > 0
-    ).astype(jnp.float32)  # (B, D, H, W, L)
+    ).astype(jnp.float32)  # (B, L, D, H, W)
 
     if class_weights is not None:
         cw = lmap.merge(class_weights.astype(jnp.float32))  # (B, L)
     else:
-        cw = jnp.ones(out.shape[:1] + out.shape[-1:], jnp.float32)
+        cw = jnp.ones((out.shape[0], out.shape[1]), jnp.float32)
 
-    gate = jnp.sum(seg, axis=(1, 2, 3)) > 0  # (B, L)
+    gate = jnp.sum(seg, axis=(2, 3, 4)) > 0  # (B, L)
     active = jnp.argmax(gate, axis=-1)  # (B,)
     has_tumor = jnp.any(gate, axis=-1) & (
         jnp.sum(tumor_volumes, axis=-1) > 0
@@ -308,10 +325,10 @@ def ball_loss(
         (out_b, seg_b, pen_b, cw_b, act, has, vols, dias) = item
 
         def tumor(_):
-            onehot = jax.nn.one_hot(act, out_b.shape[-1], dtype=jnp.float32)
-            x = jnp.einsum("dhwl,l->dhw", out_b, onehot)
-            pen = jnp.einsum("dhwl,l->dhw", pen_b, onehot)
-            tumor_seg = jnp.sum(seg_b, axis=-1)  # only active channel nonzero
+            onehot = jax.nn.one_hot(act, out_b.shape[0], dtype=jnp.float32)
+            x = jnp.einsum("ldhw,l->dhw", out_b, onehot)
+            pen = jnp.einsum("ldhw,l->dhw", pen_b, onehot)
+            tumor_seg = jnp.sum(seg_b, axis=0)  # only active channel nonzero
             c_weight = jnp.sum(cw_b * onehot)
             return _tumor_branch(x, tumor_seg, pen, vols, dias, cfg, c_weight)
 

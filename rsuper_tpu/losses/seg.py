@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.morphology import dilate
+from ..ops.morphology import dilate_cf
 
 _SPATIAL = (1, 2, 3)
 
@@ -48,7 +48,9 @@ def get_known_voxels(unk_voxels, dilation: int = 5):
     """
     unk = unk_voxels.astype(jnp.float32)
     if dilation > 0:
-        unk = dilate(unk, dilation)
+        # dilate in spatial-minor layout: class counts in the lane dim would
+        # pad every conv-adjacent buffer up to 8x on TPU
+        unk = jnp.moveaxis(dilate_cf(jnp.moveaxis(unk, -1, 1), dilation), 1, -1)
     return 1.0 - unk
 
 

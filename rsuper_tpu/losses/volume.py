@@ -16,10 +16,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.morphology import dilate
+from ..ops.morphology import dilate_cf
 from .lesions import LesionChannelMap
 
-_SPATIAL = (1, 2, 3)
+_SP3 = (-3, -2, -1)  # spatial axes in the channel-first internal layout
 
 
 def dice_based_volume_loss(pred_volume, target_volume, tolerance: float = 0.1, E: float = 500.0):
@@ -67,23 +67,27 @@ def volume_loss(
     Returns scalar loss.
     """
     del unk_voxels  # dead code in the reference; see module docstring
-    out = lmap.merge(logits)  # (B, D, H, W, L); max of logits == logit of max prob
-    seg = lmap.merge(chosen_segment_mask)
-    lab = lmap.merge(labels)
+    # Internal layout is channel-first (B, L, D, H, W): the lesion channel
+    # count is tiny (~3); keeping it in the TPU lane dim would pad every
+    # stored temp ~42x (the OOM class of bug found on v5e).
+    to_cf = lambda t: jnp.moveaxis(t, -1, 1)
+    out = to_cf(lmap.merge(logits))  # max of logits == logit of max prob
+    seg = to_cf(lmap.merge(chosen_segment_mask))
+    lab = to_cf(lmap.merge(labels))
 
     out = jax.nn.sigmoid(out.astype(jnp.float32))
-    seg = dilate(seg.astype(jnp.float32), dilation_segment)
+    seg = dilate_cf(seg.astype(jnp.float32), dilation_segment)
 
     # channels already annotated per-voxel are excluded from report supervision
     per_voxel_positive = (
-        jnp.sum(lab.astype(jnp.float32), axis=_SPATIAL, keepdims=True) > 0
+        jnp.sum(lab.astype(jnp.float32), axis=_SP3, keepdims=True) > 0
     ).astype(jnp.float32)
     out = out * (1.0 - per_voxel_positive)
 
-    pred_vol = jnp.sum(out * seg, axis=_SPATIAL)  # (B, L)
+    pred_vol = jnp.sum(out * seg, axis=_SP3)  # (B, L)
 
     report_vol = jnp.sum(tumor_volumes.astype(jnp.float32), axis=-1, keepdims=True)
-    gate = (jnp.sum(seg, axis=_SPATIAL) > 0).astype(jnp.float32)  # (B, L)
+    gate = (jnp.sum(seg, axis=_SP3) > 0).astype(jnp.float32)  # (B, L)
     report_vol = report_vol * gate
 
     loss = dice_based_volume_loss(pred_vol, report_vol, tolerance=tolerance, E=E)

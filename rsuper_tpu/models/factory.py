@@ -13,6 +13,7 @@ from typing import Any, Dict
 import jax.numpy as jnp
 
 from .attention_unet import AttentionUNet
+from .dim2 import AttentionUNet2D, TransUNet2D, UNet2D
 from .medformer import MedFormer
 from .nnformer import NnFormer, VTUNet
 from .swin_unetr import SwinUNETR
@@ -125,6 +126,17 @@ MODEL_REGISTRY = {
         depths=tuple(a.get("depths", (2, 2, 2))),
         num_heads=tuple(a.get("num_heads", (3, 6, 12))),
         window_size=a.get("window_size", 4), dtype=d),
+    # 2D pathway (--dimension 2d in the reference)
+    "unet_2d": lambda a, n, d: UNet2D(
+        num_classes=n, base_chan=a.get("base_chan", 32), dtype=d),
+    "resunet_2d": lambda a, n, d: UNet2D(
+        num_classes=n, base_chan=a.get("base_chan", 32), dtype=d),
+    "attention_unet_2d": lambda a, n, d: AttentionUNet2D(
+        num_classes=n, base_chan=a.get("base_chan", 32), dtype=d),
+    "transunet_2d": lambda a, n, d: TransUNet2D(
+        num_classes=n, base_chan=a.get("base_chan", 32),
+        hidden=a.get("hidden", 256), depth=a.get("depth", 4),
+        heads=a.get("heads", 8), dtype=d),
 }
 
 

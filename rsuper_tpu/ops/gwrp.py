@@ -77,12 +77,14 @@ def gwrp_weights_binned(x, n, c: float = 0.75, *, levels: int = 256):
     hi = jnp.maximum(jnp.max(flat), 1e-30)
     # bin 0 = lowest positive values, bin levels-1 = highest; <= 0 -> -1.
     b = jnp.clip(jnp.ceil(flat / hi * levels).astype(jnp.int32), 0, levels) - 1
-    onehot = jax.nn.one_hot(b, levels, dtype=jnp.float32)  # -1 rows are all-zero
-    counts = jnp.sum(onehot, axis=0)  # (levels,)
+    # histogram via scatter-add (never materialise the (V, levels) one-hot —
+    # at 96^3 voxels that would be ~1 GB of temp)
+    counts = jnp.zeros((levels,), jnp.float32).at[b].add(
+        jnp.where(b >= 0, 1.0, 0.0), mode="drop"
+    )
     # rank of a voxel in bin k = count of voxels in bins > k.
     higher = jnp.cumsum(counts[::-1])[::-1] - counts  # strictly-higher counts
-    ranks = onehot @ higher  # (L,)
-    ranks = jnp.where(b < 0, jnp.float32(L), ranks)
+    ranks = jnp.where(b < 0, jnp.float32(L), jnp.take(higher, jnp.maximum(b, 0)))
     d = _decay(n, c)
     w = jnp.where(ranks < n, d**ranks, 0.0)
     w = w / jnp.maximum(jnp.sum(w), 1e-30)

@@ -95,6 +95,56 @@ def _dilate_fft(x, kernel_size: int):
     return (cnt > 0.5).astype(x.dtype)
 
 
+def _dilate_direct_cf(x, kernel_size: int):
+    """Spatial-minor direct dilation: x (N, D, H, W) -> conv as (N, 1, D, H, W)
+    NCDHW so the stored values keep (H, W) in the tiled minor dims (tiny
+    channel counts in TPU lanes pad 42-128x; see ball-loss OOM notes)."""
+    kern3 = ball_kernel(kernel_size)
+    k = kern3.shape[0]
+    out = lax.conv_general_dilated(
+        x[:, None].astype(jnp.float32),
+        kern3[None, None].astype(jnp.float32),  # (O=1, I=1, k, k, k)
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+    )
+    return (out[:, 0] > 0.5).astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("kernel_size", "method"))
+def dilate_cf(x, kernel_size: int, method: str = "auto"):
+    """Ball dilation for spatial-minor layouts: `x` is (..., D, H, W) with any
+    leading batch/channel dims. Equivalent semantics to `dilate` but keeps
+    spatial dims in the TPU-tiled minor positions — use this inside losses
+    where channel counts are tiny (lesion space L~3)."""
+    if kernel_size % 2 == 0:
+        kernel_size += 1
+    if kernel_size <= 1:
+        return x
+    lead = x.shape[:-3]
+    flat = x.reshape((-1,) + x.shape[-3:])
+    if method == "direct" or (method == "auto" and kernel_size <= 9):
+        out = _dilate_direct_cf(flat, kernel_size)
+    else:
+        spatial = flat.shape[1:]
+        radius = kernel_size // 2 + 1
+        P = tuple(good_fft_size(s + radius) for s in spatial)
+        kern = ball_kernel_wrapped(P, kernel_size)
+        Kf = jnp.fft.rfftn(kern)
+
+        def one(vol):
+            pad = (
+                jnp.zeros(P, jnp.float32)
+                .at[: spatial[0], : spatial[1], : spatial[2]]
+                .set(vol.astype(jnp.float32))
+            )
+            cnt = jnp.fft.irfftn(jnp.fft.rfftn(pad) * Kf, s=P)
+            return cnt[: spatial[0], : spatial[1], : spatial[2]]
+
+        out = (jax.vmap(one)(flat) > 0.5).astype(x.dtype)
+    return out.reshape(lead + x.shape[-3:])
+
+
 @partial(jax.jit, static_argnames=("kernel_size", "method"))
 def dilate(x, kernel_size: int, method: str = "auto"):
     """Binary dilation of `x` by a Euclidean ball of radius ``odd(kernel_size)/2``.

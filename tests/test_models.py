@@ -103,3 +103,13 @@ def test_nnformer_and_vtunet():
         "vtunet", {"embed_dim": 8, "num_heads": (2, 2, 2), "window_size": 2}
     )
     assert out["segmentation"].shape == (1, 32, 32, 32, 5)
+
+
+@pytest.mark.parametrize("arch", ["unet_2d", "attention_unet_2d", "transunet_2d"])
+def test_dim2_models(arch):
+    model = get_model(arch, 4, {"base_chan": 8, "hidden": 32, "heads": 4},
+                      dtype=jnp.float32)
+    x = jnp.ones((1, 64, 64, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out["segmentation"].shape == (1, 64, 64, 4)
