@@ -47,6 +47,7 @@ def train(
     test_cases: Optional[Iterable] = None,
     mesh=None,
     max_steps: Optional[int] = None,
+    profile_steps: int = 0,
 ):
     """Run the full training job; returns the final TrainState."""
     exp_dir = f"{cfg.cp_path}/{cfg.unique_name}"
@@ -96,6 +97,14 @@ def train(
     )
     aug_key = jax.random.PRNGKey(cfg.seed + 1)
 
+    from ..utils.profiling import PhaseTimer, TraceCapture
+
+    tracer = (
+        TraceCapture(f"{exp_dir}/trace", num_steps=profile_steps)
+        if profile_steps else None
+    )
+    timer = PhaseTimer()
+
     start_epoch = int(state.step) // cfg.iter_per_epoch
     total_steps = 0
     for epoch in range(start_epoch, cfg.epochs):
@@ -107,15 +116,20 @@ def train(
         t_meter = AverageMeter("s/it")
         t0 = time.time()
         for batch in loader:
+            if tracer is not None:
+                tracer.step(total_steps)
             aug_key, k = jax.random.split(aug_key)
-            batch = shard_batch(batch, mesh)
-            batch = device_augment(
-                batch, k, crop_size=tuple(cfg.training_size),
-                scale=tuple(cfg.scale), rotate=tuple(cfg.rotate),
-                translate=tuple(cfg.translate),
-            )
-            state, losses = step_fn(state, batch)
-            loss = float(losses["overall"])
+            with timer.phase("h2d"):
+                batch = shard_batch(batch, mesh)
+            with timer.phase("augment"):
+                batch = device_augment(
+                    batch, k, crop_size=tuple(cfg.training_size),
+                    scale=tuple(cfg.scale), rotate=tuple(cfg.rotate),
+                    translate=tuple(cfg.translate),
+                )
+            with timer.phase("step"):
+                state, losses = step_fn(state, batch)
+                loss = float(losses["overall"])
             if not np.isfinite(loss):
                 raise FloatingPointError(
                     f"loss is NaN/Inf at step {int(state.step)} — aborting before "
@@ -155,5 +169,8 @@ def train(
             metrics_log.log(int(state.step), {"dice_mean": val_metric}, prefix="val/")
 
         ckpt.save_epoch(state, epoch, metric=val_metric)
-        logger.info("epoch %d done: %s", epoch, loss_meter)
+        logger.info("epoch %d done: %s phases=%s", epoch, loss_meter,
+                    timer.summary())
+    if tracer is not None:
+        tracer.close()
     return state
