@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_PATCHES_PER_SEC = 2.0
-BATCH = 2
+BATCH = 1  # per-chip batch on 16 GB v5e; DP over the mesh scales the global batch
 SIZE = 96
 CLASSES = [
     "background", "aorta", "gall_bladder", "kidney_left", "kidney_right",
@@ -64,7 +64,8 @@ def main():
     seg = np.zeros((BATCH, SIZE, SIZE, SIZE, C), np.float32)
     seg[0, 24:72, 24:72, 24:72, ci] = 1.0
     lab = np.zeros_like(seg)
-    lab[1, 20:60, 20:60, 20:60, CLASSES.index("pancreas")] = 1.0
+    if BATCH > 1:
+        lab[1, 20:60, 20:60, 20:60, CLASSES.index("pancreas")] = 1.0
     vols = np.zeros((BATCH, 10), np.float32)
     vols[0, :2] = [4000.0, 900.0]
     dias = np.zeros((BATCH, 10, 3), np.float32)

@@ -394,6 +394,8 @@ class MedFormer(nn.Module):
     classification_classes: int = 0
     clip_branch: bool = False
     clip_feats: int = 768
+    remat: bool = True  # rematerialise down/up blocks (3D activations are the
+    # memory ceiling on 16 GB chips; ~1/3 extra flops buys fitting 96-128^3)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -401,6 +403,8 @@ class MedFormer(nn.Module):
         cn, tn, ch, nh = self.conv_num, self.trans_num, self.chan_num, self.num_heads
         dim_head = [ch[i] // nh[i] for i in range(8)]
         scale = [s if isinstance(s, tuple) else (s,) * 3 for s in self.scale]
+        Down = nn.remat(DownBlockMF) if self.remat else DownBlockMF
+        Up = nn.remat(UpBlockMF) if self.remat else UpBlockMF
         x = x.astype(self.dtype)
 
         # conv stem
@@ -411,7 +415,7 @@ class MedFormer(nn.Module):
                                      dtype=self.dtype)(x0)
 
         def down(i, inp, map_generate):
-            return DownBlockMF(
+            return Down(
                 ch[i], cn[i], tn[i], heads=nh[i], dim_head=dim_head[i],
                 expansion=self.expansion, down_scale=scale[i],
                 map_size=self.map_size, proj_type=self.proj_type,
@@ -456,7 +460,7 @@ class MedFormer(nn.Module):
         )([map2, map3, map4])
 
         def up(i, a, b_skip, m1, m2, map_shortcut, no_map_out=False):
-            return UpBlockMF(
+            return Up(
                 ch[i], cn[i], tn[i], heads=nh[i], dim_head=dim_head[i],
                 expansion=self.expansion, map_size=self.map_size,
                 proj_type=self.proj_type, kernel_size=self.kernel_size[7 - i],
