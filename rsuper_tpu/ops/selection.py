@@ -49,6 +49,17 @@ def topn_threshold(x, n, *, iters: int = 26, hi=None):
     return lo
 
 
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+# VMEM budget: volumes up to ~3.5M f32 elements fit on-chip (~14 MB + slack)
+_PALLAS_MAX_ELEMS = 3_500_000
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def topn_mask(x, n, *, iters: int = 26):
     """Binary mask over the ~n largest strictly-positive entries of `x`.
@@ -57,6 +68,14 @@ def topn_mask(x, n, *, iters: int = 26):
     (``losses_foundation.py:1483-1499``). `n` may be traced. If fewer than n
     entries are positive the mask holds every positive entry (callers handle
     the shortfall, as the reference does with its dilation loop).
+
+    On TPU, volumes that fit in VMEM use the fused Pallas bisection kernel
+    (one HBM read instead of `iters` sweeps; see ``pallas_topn``).
     """
-    t = topn_threshold(x, n, iters=iters)
+    if _use_pallas() and x.size <= _PALLAS_MAX_ELEMS:
+        from .pallas_topn import pallas_topn_threshold
+
+        t = pallas_topn_threshold(x, n, iters=iters)
+    else:
+        t = topn_threshold(x, n, iters=iters)
     return ((x >= t) & (x > 0)).astype(jnp.float32)

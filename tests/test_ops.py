@@ -206,3 +206,15 @@ def test_gwrp_weights_binned_zero_excluded():
     assert (w.ravel()[4:] == 0).all()
     assert (w[0, 0, :2] > 0).all()
     assert w[0, 0, 3] == 0
+
+
+def test_pallas_topn_matches_reference():
+    from rsuper_tpu.ops.pallas_topn import pallas_topn_threshold
+    from rsuper_tpu.ops.selection import topn_threshold
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((20, 24, 28)).astype(np.float32))
+    for n in [1, 100, 3000]:
+        a = float(pallas_topn_threshold(x, n, interpret=True))
+        b = float(topn_threshold(x, n))
+        assert a == pytest.approx(b, abs=1e-7)
