@@ -186,3 +186,56 @@ def test_clip_record_adapter(tmp_path):
     rec = ad.sample(0)
     assert rec["report_embedding"].shape == (16,)
     assert rec["report_embedding"].sum() == 16
+
+
+def test_sanity_dumper(tmp_path):
+    from rsuper_tpu.utils.debug_dumps import SanityDumper
+
+    d = SanityDumper(str(tmp_path), limit=2)
+    lab = np.zeros((1, 8, 8, 8, 2), np.float32)
+    lab[0, 2:4, 2:4, 2:4, 1] = 1
+    for _ in range(4):
+        d.dump({"label": lab}, class_names=["bg", "organ"])
+    dirs = sorted(p for p in (tmp_path).iterdir() if p.is_dir())
+    assert len(dirs) == 2  # counter-gated
+    assert (dirs[0] / "label_organ.nii.gz").exists()
+    assert not (dirs[0] / "label_bg.nii.gz").exists()  # empty channel skipped
+
+
+def test_label_name_presets():
+    from rsuper_tpu.config.label_names import (
+        JOINT_CLASSES,
+        MASK_DATASET_PANCREAS_CLASSES,
+        REPORT_DATASET_CLASSES,
+    )
+    from rsuper_tpu.data.dataset import RSuperDataConfig
+
+    assert "pancreatic_lesion" in MASK_DATASET_PANCREAS_CLASSES
+    assert not any("lesion" in c for c in REPORT_DATASET_CLASSES)
+    # joint list is a valid config pair with the report classes
+    RSuperDataConfig(classes=tuple(JOINT_CLASSES),
+                     report_classes=tuple(REPORT_DATASET_CLASSES))
+
+
+def test_dataset_prep(tmp_path):
+    from rsuper_tpu.data.nifti import write_nifti
+    from rsuper_tpu.organ_masks.dataset_prep import (
+        link_cases,
+        make_dataset_json,
+        verify_data,
+    )
+
+    img_dir = tmp_path / "images"; img_dir.mkdir()
+    lab_dir = tmp_path / "labels"; lab_dir.mkdir()
+    write_nifti(str(img_dir / "A.nii.gz"), np.zeros((4, 4, 4), np.float32))
+    write_nifti(str(lab_dir / "A.nii.gz"), np.zeros((4, 4, 4), np.int16))
+    write_nifti(str(img_dir / "B.nii.gz"), np.zeros((4, 4, 4), np.float32))
+    write_nifti(str(lab_dir / "B.nii.gz"), np.zeros((5, 4, 4), np.int16))
+    bad = verify_data(str(img_dir), str(lab_dir))
+    assert len(bad) == 1 and bad[0].startswith("B")
+
+    spec = make_dataset_json(str(tmp_path / "dataset.json"),
+                             {"background": 0, "aorta": 1}, 2)
+    assert spec["numTraining"] == 2
+    n = link_cases(str(img_dir), str(tmp_path / "nnunet"))
+    assert n == 2
