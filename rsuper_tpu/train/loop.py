@@ -56,7 +56,17 @@ def train(
     dump_config(exp_dir, cfg)
 
     if mesh is None:
-        mesh = make_mesh()
+        # the global batch shards over the data axis; use the largest device
+        # count that divides it (reference divides batch by ngpus,
+        # train_ddp.py:632 — same constraint, surfaced at mesh build)
+        import math
+
+        n_dev = len(jax.devices())
+        k = math.gcd(cfg.batch_size, n_dev)
+        if k < n_dev:
+            print(f"[train] batch_size {cfg.batch_size} not divisible by "
+                  f"{n_dev} devices; using a {k}-device data mesh", flush=True)
+        mesh = make_mesh(jax.devices()[:k])
     lmap = LesionChannelMap.from_classes(cfg.classes)
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 

@@ -82,10 +82,14 @@ def main(argv=None):
     from rsuper_tpu.train.loop import train
     import jax.numpy as jnp
 
+    import dataclasses
+
     classes = cfg.classes or load_classes(cfg.data_root)
     report_classes = cfg.report_classes or (
         load_classes(cfg.report_root) if cfg.report_root else ()
     )
+    cfg = dataclasses.replace(cfg, classes=tuple(classes),
+                              report_classes=tuple(report_classes))
 
     mask_cases = discover_cases(cfg.data_root) if cfg.data_root else []
     report_cases = discover_cases(cfg.report_root) if cfg.report_root else []
