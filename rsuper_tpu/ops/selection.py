@@ -50,6 +50,10 @@ def topn_threshold(x, n, *, iters: int = 26, hi=None):
 
 
 def _use_pallas() -> bool:
+    import os
+
+    if os.environ.get("RSUPER_DISABLE_PALLAS"):
+        return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:
