@@ -113,3 +113,33 @@ def test_train_step_with_report_losses_runs():
     state, metrics = step(state, shard_batch(batch, mesh))
     for k in ("segmentation", "ball_loss_bce", "dice_volume_loss", "overall"):
         assert k in metrics and np.isfinite(float(metrics[k])), k
+
+
+def test_clip_pretrain_step():
+    """CLIP-only pretraining: symmetric InfoNCE on CT-crop vs report
+    embeddings across the data mesh (reference --clip_pretrain path)."""
+    mesh = make_mesh()
+    model = get_model(
+        "medformer", len(CLASSES),
+        {"base_chan": 4, "chan_num": (8, 16, 16, 16, 16, 16, 8, 4),
+         "num_heads": (1, 2, 2, 2, 2, 2, 1, 1), "fusion_dim": 16,
+         "fusion_heads": 2, "trans_num": (0, 1, 1, 1, 1, 1, 0, 0),
+         "conv_num": (1, 0, 0, 0, 0, 0, 1, 1), "clip_branch": True,
+         "clip_feats": 8},
+        dtype=jnp.float32,
+    )
+    tx = make_optimizer(base_lr=1e-3, warmup_epochs=0, max_epochs=10,
+                        steps_per_epoch=10)
+    B, S = 8, 32  # deep enough for the clip branch's extra downsample
+    rngn = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rngn.normal(size=(B, S, S, S, 1)).astype(np.float32)),
+        "report_embedding": jnp.asarray(
+            rngn.normal(size=(B, 8)).astype(np.float32)
+        ),
+    }
+    state = create_train_state(model, jax.random.PRNGKey(0), batch["image"][:1], tx)
+    step = build_train_step(model, LMAP, LossConfig(), mesh=mesh, clip_only=True)
+    state, metrics = step(state, shard_batch(batch, mesh))
+    assert np.isfinite(float(metrics["contrastive_loss"]))
+    assert int(state.step) == 1
