@@ -111,7 +111,10 @@ def isolate_tumor(x, diameter, volume, cfg: BallLossConfig):
     """
     shape = x.shape
     V = x.size
-    diameter = jnp.asarray(diameter, jnp.float32)
+    # clamp to the static FFT-padding bound (wrap-around safety); tumors larger
+    # than the crop are border-handled by the insertion-ball growth loop anyway
+    diameter = jnp.minimum(jnp.asarray(diameter, jnp.float32),
+                           float(cfg.max_diameter))
     volume = jnp.round(jnp.asarray(volume, jnp.float32))
 
     # Reference quirk kept for parity (losses_foundation.py:1431-1433): the
@@ -275,6 +278,28 @@ def _no_tumor_branch(out_logits, to_penalize, cw_lesion):
     return loss, dice
 
 
+def lesion_masks_cf(
+    labels,
+    unk_voxels,
+    chosen_segment_mask,
+    lmap: LesionChannelMap,
+    subseg_dilation: int = 31,
+    unk_dilation: int = 1,
+):
+    """Precompute the lesion-space (channel-first) mask tensors shared by the
+    ball and volume losses: (seg dilated, unk dilated, labels), each
+    (B, L, D, H, W). These are pure batch data — computing them once per step
+    instead of per loss head removes the dominant dilation FFTs from the
+    profile (2×145 ms/step on v5e)."""
+    to_cf = lambda t: jnp.moveaxis(t, -1, 1)
+    seg = dilate_cf(to_cf(lmap.merge(chosen_segment_mask)).astype(jnp.float32),
+                    subseg_dilation)
+    unk = dilate_cf(to_cf(lmap.merge(unk_voxels)).astype(jnp.float32),
+                    unk_dilation)
+    lab = to_cf(lmap.merge(labels)).astype(jnp.float32)
+    return jax.lax.stop_gradient((seg, unk, lab))
+
+
 def ball_loss(
     logits,
     labels,
@@ -285,6 +310,7 @@ def ball_loss(
     lmap: LesionChannelMap,
     cfg: BallLossConfig = BallLossConfig(),
     class_weights: Optional[jnp.ndarray] = None,
+    precomputed=None,
 ):
     """R-Super Ball Loss over a batch (``ball_loss``, ``losses_foundation.py:1537``).
 
@@ -293,6 +319,7 @@ def ball_loss(
       tumor_volumes: (B, T) voxels; tumor_diameters: (B, T, 3) mm (= voxels at
         1 mm³ spacing); zero-padded slots.
       class_weights: optional (B, C).
+      precomputed: optional `lesion_masks_cf` result shared across heads.
 
     Returns dict {'ball_loss_bce', 'ball_loss_dice'} of scalars.
     """
@@ -300,11 +327,12 @@ def ball_loss(
     # tiny-lane-count padding.
     to_cf = lambda t: jnp.moveaxis(t, -1, 1)
     out = to_cf(lmap.merge(logits))
-    seg = dilate_cf(to_cf(lmap.merge(chosen_segment_mask)).astype(jnp.float32),
-                    cfg.subseg_dilation)
-    unk = dilate_cf(to_cf(lmap.merge(unk_voxels)).astype(jnp.float32),
-                    cfg.unk_dilation)
-    lab = to_cf(lmap.merge(labels)).astype(jnp.float32)
+    if precomputed is None:
+        precomputed = lesion_masks_cf(
+            labels, unk_voxels, chosen_segment_mask, lmap,
+            cfg.subseg_dilation, cfg.unk_dilation,
+        )
+    seg, unk, lab = precomputed
 
     to_penalize = (
         (1.0 - unk) * (1.0 - lab) + seg > 0

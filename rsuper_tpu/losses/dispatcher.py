@@ -27,7 +27,7 @@ from typing import Any, Dict, Optional, Sequence
 
 import jax.numpy as jnp
 
-from .ball import BallLossConfig, ball_loss
+from .ball import BallLossConfig, ball_loss, lesion_masks_cf
 from .classification import classification_loss
 from .genesis import model_genesis_loss
 from .info_nce import symmetric_info_nce
@@ -52,6 +52,9 @@ class LossConfig:
     ball_volume_margin: float = 0.2
     classification_branch: bool = False
     known_dilation: int = 5
+    # static bound on ball-conv kernel diameter (voxels); sets the FFT padding
+    # and clamps reported diameters — 64 covers clinical tumor sizes at 1 mm³
+    ball_max_diameter: int = 64
 
     def ball_config(self) -> BallLossConfig:
         return BallLossConfig(
@@ -59,6 +62,7 @@ class LossConfig:
             volume_margin=self.ball_volume_margin,
             standard_ce=self.standard_ce_ball,
             apply_dice_loss=("dice" in self.loss),
+            max_diameter=self.ball_max_diameter,
         )
 
 
@@ -115,6 +119,16 @@ def calculate_loss(
     loss_seg_total = jnp.zeros(())
     use_report = cfg.report_volume_loss_basic > 0
 
+    # lesion-space masks (incl. the expensive dilation-31) are pure batch
+    # data: compute once, share across every head's ball/volume loss
+    pre = None
+    if use_report:
+        bc = cfg.ball_config()
+        pre = lesion_masks_cf(
+            label, unk_voxels, chosen_segment_mask, lmap,
+            bc.subseg_dilation, bc.unk_dilation,
+        )
+
     for j, logits in enumerate(heads):
         w = cfg.aux_weight[j] if len(heads) > 1 else 1.0
 
@@ -132,6 +146,7 @@ def calculate_loss(
                     lmap,
                     cfg.ball_config(),
                     class_weights=class_weights,
+                    precomputed=pre,
                 )
                 report_terms["ball_loss_bce"] = bl["ball_loss_bce"] * cfg.ball_bce_weight
                 report_terms["ball_loss_dice"] = (
@@ -147,6 +162,7 @@ def calculate_loss(
                         lmap,
                         tolerance=cfg.volume_loss_tolerance,
                         class_weights=class_weights,
+                        precomputed=pre,
                     )
             else:
                 report_terms["dice_volume_loss"] = volume_loss(
@@ -158,6 +174,7 @@ def calculate_loss(
                     lmap,
                     tolerance=cfg.volume_loss_tolerance,
                     class_weights=class_weights,
+                    precomputed=pre,
                 )
             for key, val in report_terms.items():
                 val = w * cfg.report_volume_loss_basic * val

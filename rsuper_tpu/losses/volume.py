@@ -50,6 +50,7 @@ def volume_loss(
     tolerance: float = 0.1,
     E: float = 500.0,
     class_weights=None,
+    precomputed=None,
 ):
     """R-Super Volume Loss (``volume_loss_basic``, ``losses_foundation.py:250``).
 
@@ -63,6 +64,8 @@ def volume_loss(
         itself — kept for signature parity; see module docstring).
       lmap: static lesion-channel map.
       class_weights: optional (B, C).
+      precomputed: optional `ball.lesion_masks_cf` result shared across heads
+        (its dilated segment mask uses the same kernel 31).
 
     Returns scalar loss.
     """
@@ -72,11 +75,14 @@ def volume_loss(
     # stored temp ~42x (the OOM class of bug found on v5e).
     to_cf = lambda t: jnp.moveaxis(t, -1, 1)
     out = to_cf(lmap.merge(logits))  # max of logits == logit of max prob
-    seg = to_cf(lmap.merge(chosen_segment_mask))
-    lab = to_cf(lmap.merge(labels))
+    if precomputed is not None:
+        seg, _, lab = precomputed
+    else:
+        seg = dilate_cf(to_cf(lmap.merge(chosen_segment_mask)).astype(jnp.float32),
+                        dilation_segment)
+        lab = to_cf(lmap.merge(labels))
 
     out = jax.nn.sigmoid(out.astype(jnp.float32))
-    seg = dilate_cf(seg.astype(jnp.float32), dilation_segment)
 
     # channels already annotated per-voxel are excluded from report supervision
     per_voxel_positive = (
