@@ -202,7 +202,11 @@ def _tumor_branch(x_logits, tumor_seg, penalize, volumes, diameters, cfg, c_weig
     penalize:  (D, H, W) penalisable region for the active channel.
     volumes: (T,), diameters: (T, 3).
     """
-    x_act = jax.nn.sigmoid(x_logits.astype(jnp.float32)) * tumor_seg
+    # the whole pseudo-mask construction is supervision-target work: primal
+    # only (matches the reference, where topk/scatter targets carry no grad)
+    x_act = lax.stop_gradient(
+        jax.nn.sigmoid(x_logits.astype(jnp.float32)) * tumor_seg
+    )
 
     # sort tumor slots by volume, descending (reference :1678-1681)
     order = jnp.argsort(-volumes)

@@ -76,10 +76,13 @@ def topn_mask(x, n, *, iters: int = 26):
     On TPU, volumes that fit in VMEM use the fused Pallas bisection kernel
     (one HBM read instead of `iters` sweeps; see ``pallas_topn``).
     """
+    # threshold selection is piecewise-constant — never differentiable; the
+    # Pallas kernel also has no VJP, so cut the tape explicitly
+    x_ng = jax.lax.stop_gradient(x)
     if _use_pallas() and x.size <= _PALLAS_MAX_ELEMS:
         from .pallas_topn import pallas_topn_threshold
 
-        t = pallas_topn_threshold(x, n, iters=iters)
+        t = pallas_topn_threshold(x_ng, n, iters=iters)
     else:
-        t = topn_threshold(x, n, iters=iters)
-    return ((x >= t) & (x > 0)).astype(jnp.float32)
+        t = topn_threshold(x_ng, n, iters=iters)
+    return ((x_ng >= t) & (x_ng > 0)).astype(jnp.float32)
