@@ -157,3 +157,18 @@ def test_load_ground_truth(tmp_path):
     gt = load_ground_truth(p)
     assert gt.loc[0, "gt_liver"] == 1 and gt.loc[1, "gt_liver"] == 0
     assert gt.loc[0, "gt_kidney"] == 0
+
+
+def test_sliding_window_2d():
+    import jax.numpy as jnp
+    from rsuper_tpu.inference.sliding_window2d import sliding_window_inference_2d
+
+    def apply_fn(params, x):
+        return jnp.full(x.shape[:-1] + (2,), 1.2)
+
+    vol = np.zeros((5, 40, 36), np.float32)
+    probs = sliding_window_inference_2d(apply_fn, None, vol, 2, window=(16, 16),
+                                        batch=4)
+    expect = 1.0 / (1.0 + np.exp(-1.2))
+    assert probs.shape == (5, 40, 36, 2)
+    np.testing.assert_allclose(probs, expect, rtol=1e-5)
