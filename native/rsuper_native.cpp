@@ -1,0 +1,159 @@
+// rsuper_native: multithreaded host-side volume kernels for the data path.
+//
+// The reference leans on SimpleITK's C++ core for its offline preprocessing
+// (resample-to-1mm, HU clip, z-score: dataset_conversion/abdomenatlas_3d.py,
+// nii2npz.py, predict_abdomenatlas.py:325). This library is the native
+// equivalent for the TPU build: trilinear / nearest-neighbour resampling and
+// fused clip+z-score, parallelised with std::thread across volume slabs.
+// Exposed as plain C symbols for ctypes (no pybind11 in this toolchain).
+//
+// Build: make -C native   (produces librsuper_native.so)
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+int default_threads() {
+  unsigned n = std::thread::hardware_concurrency();
+  return n ? static_cast<int>(n) : 4;
+}
+
+template <typename F>
+void parallel_for(int64_t n, int nthreads, F&& fn) {
+  if (nthreads <= 1 || n < 2) {
+    fn(0, n);
+    return;
+  }
+  nthreads = std::min<int64_t>(nthreads, n);
+  std::vector<std::thread> ts;
+  ts.reserve(nthreads);
+  int64_t chunk = (n + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back([lo, hi, &fn] { fn(lo, hi); });
+  }
+  for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Trilinear resample src (sx, sy, sz) -> dst (dx, dy, dz), arbitrary zoom.
+// Coordinate convention matches scipy.ndimage.zoom(grid_mode=False):
+// src_coord = dst_index * (s - 1) / (d - 1) for d > 1 (endpoint-aligned).
+int rsuper_resample_trilinear(const float* src, int64_t sx, int64_t sy,
+                              int64_t sz, float* dst, int64_t dx, int64_t dy,
+                              int64_t dz, int nthreads) {
+  if (!src || !dst || sx < 1 || sy < 1 || sz < 1 || dx < 1 || dy < 1 || dz < 1)
+    return -1;
+  if (nthreads <= 0) nthreads = default_threads();
+  const double fx = dx > 1 ? double(sx - 1) / double(dx - 1) : 0.0;
+  const double fy = dy > 1 ? double(sy - 1) / double(dy - 1) : 0.0;
+  const double fz = dz > 1 ? double(sz - 1) / double(dz - 1) : 0.0;
+  const int64_t s_yz = sy * sz;
+
+  parallel_for(dx, nthreads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      double xs = i * fx;
+      int64_t x0 = std::min<int64_t>(int64_t(xs), sx - 1);
+      int64_t x1 = std::min<int64_t>(x0 + 1, sx - 1);
+      double wx = xs - double(x0);
+      for (int64_t j = 0; j < dy; ++j) {
+        double ys = j * fy;
+        int64_t y0 = std::min<int64_t>(int64_t(ys), sy - 1);
+        int64_t y1 = std::min<int64_t>(y0 + 1, sy - 1);
+        double wy = ys - double(y0);
+        float* out_row = dst + (i * dy + j) * dz;
+        const float* p00 = src + x0 * s_yz + y0 * sz;
+        const float* p01 = src + x0 * s_yz + y1 * sz;
+        const float* p10 = src + x1 * s_yz + y0 * sz;
+        const float* p11 = src + x1 * s_yz + y1 * sz;
+        for (int64_t k = 0; k < dz; ++k) {
+          double zs = k * fz;
+          int64_t z0 = std::min<int64_t>(int64_t(zs), sz - 1);
+          int64_t z1 = std::min<int64_t>(z0 + 1, sz - 1);
+          double wz = zs - double(z0);
+          double c00 = p00[z0] * (1 - wz) + p00[z1] * wz;
+          double c01 = p01[z0] * (1 - wz) + p01[z1] * wz;
+          double c10 = p10[z0] * (1 - wz) + p10[z1] * wz;
+          double c11 = p11[z0] * (1 - wz) + p11[z1] * wz;
+          double c0 = c00 * (1 - wy) + c01 * wy;
+          double c1 = c10 * (1 - wy) + c11 * wy;
+          out_row[k] = float(c0 * (1 - wx) + c1 * wx);
+        }
+      }
+    }
+  });
+  return 0;
+}
+
+// Nearest-neighbour resample for label volumes (uint8).
+int rsuper_resample_nearest_u8(const uint8_t* src, int64_t sx, int64_t sy,
+                               int64_t sz, uint8_t* dst, int64_t dx,
+                               int64_t dy, int64_t dz, int nthreads) {
+  if (!src || !dst || sx < 1 || sy < 1 || sz < 1 || dx < 1 || dy < 1 || dz < 1)
+    return -1;
+  if (nthreads <= 0) nthreads = default_threads();
+  const double fx = dx > 1 ? double(sx - 1) / double(dx - 1) : 0.0;
+  const double fy = dy > 1 ? double(sy - 1) / double(dy - 1) : 0.0;
+  const double fz = dz > 1 ? double(sz - 1) / double(dz - 1) : 0.0;
+  const int64_t s_yz = sy * sz;
+  parallel_for(dx, nthreads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t xs = std::min<int64_t>(int64_t(std::lround(i * fx)), sx - 1);
+      for (int64_t j = 0; j < dy; ++j) {
+        int64_t ys = std::min<int64_t>(int64_t(std::lround(j * fy)), sy - 1);
+        const uint8_t* row = src + xs * s_yz + ys * sz;
+        uint8_t* out_row = dst + (i * dy + j) * dz;
+        for (int64_t k = 0; k < dz; ++k) {
+          int64_t zs = std::min<int64_t>(int64_t(std::lround(k * fz)), sz - 1);
+          out_row[k] = row[zs];
+        }
+      }
+    }
+  });
+  return 0;
+}
+
+// Fused clip + z-score in place: x = (clip(x, lo, hi) - mean) / std.
+// Two passes: parallel clip+moments, then parallel normalise.
+int rsuper_clip_zscore(float* data, int64_t n, float lo, float hi,
+                       int nthreads) {
+  if (!data || n < 1) return -1;
+  if (nthreads <= 0) nthreads = default_threads();
+  std::atomic<double> sum_a{0.0}, sumsq_a{0.0};
+  parallel_for(n, nthreads, [&](int64_t a, int64_t b) {
+    double s = 0.0, s2 = 0.0;
+    for (int64_t i = a; i < b; ++i) {
+      float v = std::min(std::max(data[i], lo), hi);
+      data[i] = v;
+      s += v;
+      s2 += double(v) * v;
+    }
+    double cur = sum_a.load();
+    while (!sum_a.compare_exchange_weak(cur, cur + s)) {
+    }
+    cur = sumsq_a.load();
+    while (!sumsq_a.compare_exchange_weak(cur, cur + s2)) {
+    }
+  });
+  double mean = sum_a.load() / double(n);
+  double var = sumsq_a.load() / double(n) - mean * mean;
+  double inv = 1.0 / std::max(std::sqrt(std::max(var, 0.0)), 1e-8);
+  parallel_for(n, nthreads, [&](int64_t a, int64_t b) {
+    for (int64_t i = a; i < b; ++i)
+      data[i] = float((data[i] - mean) * inv);
+  });
+  return 0;
+}
+
+}  // extern "C"

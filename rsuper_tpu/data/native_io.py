@@ -1,0 +1,98 @@
+"""ctypes bindings for the native host-side volume kernels.
+
+`native/rsuper_native.cpp` provides multithreaded trilinear/nearest
+resampling and fused clip+z-score — the C++ replacement for SimpleITK's role
+in the reference's preprocessing. Falls back to the scipy/numpy paths when
+the shared library hasn't been built (``make -C native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "librsuper_native.so"
+    )
+    try:
+        lib = ctypes.CDLL(os.path.abspath(path))
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    fp = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.rsuper_resample_trilinear.argtypes = [fp, i64, i64, i64, fp, i64, i64,
+                                             i64, ctypes.c_int]
+    lib.rsuper_resample_trilinear.restype = ctypes.c_int
+    lib.rsuper_resample_nearest_u8.argtypes = [u8p, i64, i64, i64, u8p, i64,
+                                               i64, i64, ctypes.c_int]
+    lib.rsuper_resample_nearest_u8.restype = ctypes.c_int
+    lib.rsuper_clip_zscore.argtypes = [fp, i64, ctypes.c_float, ctypes.c_float,
+                                       ctypes.c_int]
+    lib.rsuper_clip_zscore.restype = ctypes.c_int
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def resample(
+    data: np.ndarray,
+    out_shape: Sequence[int],
+    order: int = 1,
+    nthreads: int = 0,
+) -> Optional[np.ndarray]:
+    """Native resample to `out_shape`; returns None if the library is absent
+    (caller falls back to scipy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out_shape = tuple(int(s) for s in out_shape)
+    if order == 0:
+        src = np.ascontiguousarray(data, np.uint8)
+        dst = np.empty(out_shape, np.uint8)
+        rc = lib.rsuper_resample_nearest_u8(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), *src.shape,
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), *out_shape,
+            nthreads,
+        )
+    else:
+        src = np.ascontiguousarray(data, np.float32)
+        dst = np.empty(out_shape, np.float32)
+        rc = lib.rsuper_resample_trilinear(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), *src.shape,
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), *out_shape,
+            nthreads,
+        )
+    if rc != 0:
+        return None
+    return dst
+
+
+def clip_zscore(
+    data: np.ndarray, lo: float, hi: float, nthreads: int = 0
+) -> Optional[np.ndarray]:
+    """Native fused clip + z-score (in a fresh array); None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(data, np.float32).copy()
+    rc = lib.rsuper_clip_zscore(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), arr.size,
+        lo, hi, nthreads,
+    )
+    return arr if rc == 0 else None

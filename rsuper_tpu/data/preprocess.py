@@ -36,10 +36,21 @@ def resample_to_spacing(
     new_spacing=(1.0, 1.0, 1.0),
     order: int = 3,
 ) -> np.ndarray:
-    """Resample a volume from `spacing` to `new_spacing` (mm). order=0 for labels."""
+    """Resample a volume from `spacing` to `new_spacing` (mm). order=0 for labels.
+
+    Orders 0/1 use the multithreaded native kernels when built
+    (``make -C native``); cubic stays on scipy.
+    """
     zoom = np.asarray(spacing, np.float64) / np.asarray(new_spacing, np.float64)
     if np.allclose(zoom, 1.0, atol=1e-3):
         return data
+    if order in (0, 1):
+        from . import native_io
+
+        out_shape = tuple(int(round(s * z)) for s, z in zip(data.shape, zoom))
+        native = native_io.resample(data, out_shape, order=order)
+        if native is not None:
+            return native
     return ndi.zoom(data, zoom, order=order, mode="nearest", grid_mode=False)
 
 

@@ -347,3 +347,24 @@ def test_prefetch_loader(tmp_path):
     for b in batches:
         assert b["image"].shape == (2, 52, 72, 72, 1)
         assert b["label"].shape[-1] == len(CLASSES)
+
+
+def test_native_io_if_built():
+    """Native kernels (if built) must agree with the scipy paths."""
+    from rsuper_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native library not built (make -C native)")
+    import scipy.ndimage as ndi
+
+    rng = np.random.default_rng(0)
+    src = rng.random((20, 24, 28)).astype(np.float32)
+    out = native_io.resample(src, (40, 48, 56), order=1)
+    ref = ndi.zoom(src, 2.0, order=1, mode="nearest", grid_mode=False)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+    lab = (rng.random((10, 10, 10)) * 4).astype(np.uint8)
+    outl = native_io.resample(lab, (20, 20, 20), order=0)
+    refl = ndi.zoom(lab, 2.0, order=0, mode="nearest", grid_mode=False)
+    np.testing.assert_array_equal(outl, refl)
+    z = native_io.clip_zscore(src * 1000 - 400, -991.0, 500.0)
+    assert abs(z.mean()) < 1e-4 and abs(z.std() - 1.0) < 1e-4
