@@ -48,7 +48,7 @@ from jax import lax
 from ..ops.balls import ball_kernel_wrapped, fft_ball_conv, insert_ball, odd_ceil
 from ..ops.gwrp import gwrp_weights_binned
 from ..ops.morphology import dilate_cf
-from ..ops.selection import topn_mask
+from ..ops.selection import topn_masks_multi
 from .lesions import LesionChannelMap
 from .seg import bce_with_logits
 
@@ -169,7 +169,7 @@ def isolate_tumor(x, diameter, volume, cfg: BallLossConfig):
         jnp.float32(V - 1), jnp.round(volume * (1.0 + cfg.volume_margin))
     )
     ns = jnp.stack([t, t_small, t_big])
-    masks = jax.vmap(lambda n: topn_mask(masked_x, n, iters=cfg.topn_iters))(ns)
+    masks = topn_masks_multi(masked_x, ns, iters=cfg.topn_iters)
     masks = masks * ball[None]
 
     # -- 4. dilation fallback when too few positive voxels existed ------------

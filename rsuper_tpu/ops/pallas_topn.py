@@ -24,29 +24,32 @@ LANES = 128
 SUBLANES = 8
 
 
-def _bisect_kernel(n_ref, x_ref, out_ref, *, iters: int):
+def _bisect_kernel(n_ref, x_ref, out_ref, *, iters: int, k: int):
     x = x_ref[:]
-    n = n_ref[0]
     hi0 = jnp.max(x)
-    lo0 = jnp.zeros_like(hi0)
 
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = 0.5 * (lo + hi)
-        cnt = jnp.sum((x >= mid).astype(jnp.float32))
-        ok = cnt >= n
-        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+    for j in range(k):  # static unroll over the requested Ns
+        n = n_ref[j]
 
-    lo, _ = jax.lax.fori_loop(0, iters, body, (lo0, hi0))
-    out_ref[0, 0] = lo
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            cnt = jnp.sum((x >= mid).astype(jnp.float32))
+            ok = cnt >= n
+            return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+        lo, _ = jax.lax.fori_loop(0, iters, body, (jnp.zeros_like(hi0), hi0))
+        out_ref[0, j] = lo
 
 
 @partial(jax.jit, static_argnames=("iters", "interpret"))
-def pallas_topn_threshold(x, n, *, iters: int = 26, interpret: bool = False):
-    """Largest t with count(x >= t) >= n; zeros never selected.
+def pallas_topn_threshold_multi(x, ns, *, iters: int = 26, interpret: bool = False):
+    """Thresholds (K,) — for each n in `ns`, the largest t with
+    count(x >= t) >= n — computed in ONE kernel invocation: the volume is
+    loaded into VMEM once and all K bisections run on-chip.
 
-    Same contract as `ops.selection.topn_threshold`; `x` any shape, `n` may be
-    traced. Entire volume must fit in VMEM (<= ~3.5M float32 elements).
+    `ns`: (K,) array (traced values fine, K static). The volume must fit in
+    VMEM (<= ~3.5M float32 elements).
     """
     flat = x.reshape(-1).astype(jnp.float32)
     V = flat.shape[0]
@@ -54,15 +57,24 @@ def pallas_topn_threshold(x, n, *, iters: int = 26, interpret: bool = False):
     rows_pad = -(-rows // SUBLANES) * SUBLANES
     padded = jnp.zeros((rows_pad * LANES,), jnp.float32).at[:V].set(flat)
     padded = padded.reshape(rows_pad, LANES)
-    n_arr = jnp.asarray([n], jnp.float32)
+    ns = jnp.asarray(ns, jnp.float32).reshape(-1)
+    k = ns.shape[0]
 
-    return pl.pallas_call(
-        partial(_bisect_kernel, iters=iters),
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+    out = pl.pallas_call(
+        partial(_bisect_kernel, iters=iters, k=k),
+        out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         interpret=interpret,
-    )(n_arr, padded)[0, 0]
+    )(ns, padded)
+    return out[0]
+
+
+def pallas_topn_threshold(x, n, *, iters: int = 26, interpret: bool = False):
+    """Single-n convenience wrapper over `pallas_topn_threshold_multi`."""
+    return pallas_topn_threshold_multi(
+        x, jnp.asarray([n]), iters=iters, interpret=interpret
+    )[0]

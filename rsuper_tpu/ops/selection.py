@@ -86,3 +86,23 @@ def topn_mask(x, n, *, iters: int = 26):
     else:
         t = topn_threshold(x_ng, n, iters=iters)
     return ((x_ng >= t) & (x_ng > 0)).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def topn_masks_multi(x, ns, *, iters: int = 26):
+    """Stack of binary masks (K, *x.shape), one per n in `ns` (K,).
+
+    On TPU all K bisections share ONE fused Pallas kernel (single VMEM load);
+    elsewhere a vmapped bisection. Used by the ball loss for its
+    (N, N_small, N_big) mask triple."""
+    x_ng = jax.lax.stop_gradient(x)
+    ns = jnp.asarray(ns, jnp.float32).reshape(-1)
+    if _use_pallas() and x.size <= _PALLAS_MAX_ELEMS:
+        from .pallas_topn import pallas_topn_threshold_multi
+
+        ts = pallas_topn_threshold_multi(x_ng, ns, iters=iters)
+    else:
+        ts = jax.vmap(lambda n: topn_threshold(x_ng, n, iters=iters))(ns)
+    shape = (ns.shape[0],) + (1,) * x.ndim
+    ts = ts.reshape(shape)
+    return ((x_ng[None] >= ts) & (x_ng[None] > 0)).astype(jnp.float32)

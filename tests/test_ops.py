@@ -218,3 +218,19 @@ def test_pallas_topn_matches_reference():
         a = float(pallas_topn_threshold(x, n, interpret=True))
         b = float(topn_threshold(x, n))
         assert a == pytest.approx(b, abs=1e-7)
+
+
+def test_pallas_topn_multi_matches():
+    from rsuper_tpu.ops.pallas_topn import pallas_topn_threshold_multi
+    from rsuper_tpu.ops.selection import topn_masks_multi, topn_threshold
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.random((16, 20, 24)).astype(np.float32))
+    ns = jnp.asarray([5.0, 200.0, 2000.0])
+    ts = np.asarray(pallas_topn_threshold_multi(x, ns, interpret=True))
+    for t, n in zip(ts, [5, 200, 2000]):
+        assert t == pytest.approx(float(topn_threshold(x, n)), abs=1e-7)
+    masks = np.asarray(topn_masks_multi(x, ns))
+    assert masks.shape == (3, 16, 20, 24)
+    for m, n in zip(masks, [5, 200, 2000]):
+        assert abs(m.sum() - n) <= max(2, 0.01 * n)
