@@ -134,10 +134,14 @@ class RSuperDataset:
         cases: Sequence[Case],
         cfg: RSuperDataConfig,
         report_rows: Optional[pd.DataFrame] = None,
+        class_proportions: Optional[Dict[str, float]] = None,
     ):
         self.cases = list(cases)
         self.cfg = cfg
         self.report_rows = report_rows
+        # lesion-class prevalence for inverse-frequency weighting
+        # (reference --class_weights; see data/class_weights.py)
+        self.class_proportions = class_proportions
         self._report_cls_idx = {c: i for i, c in enumerate(cfg.report_classes)}
         self._cls_idx = {c: i for i, c in enumerate(cfg.classes)}
 
@@ -330,6 +334,12 @@ class RSuperDataset:
             rec = self._sample_report_case(case, rng)
         else:
             rec = self._sample_mask_case(case, rng)
+        if self.class_proportions is not None:
+            from .class_weights import sample_class_weights
+
+            rec["class_weights"] = sample_class_weights(
+                rec["label"], self.class_proportions, self.cfg.classes
+            )
         self._sanity(rec)
         return rec
 
@@ -350,8 +360,9 @@ def to_channels_last(rec: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         "volumes": rec["volumes"],
         "diameters": rec["diameters"],
     }
-    if "apply_affine" in rec:
-        out["apply_affine"] = rec["apply_affine"]
     for k in ("label", "unk", "segment_mask"):
         out[k] = np.moveaxis(rec[k], 0, -1)
+    for k, v in rec.items():  # extras: apply_affine, class_weights, embeddings
+        if k not in out and k != "image":
+            out[k] = v
     return out

@@ -92,6 +92,12 @@ def train(
     state = jax.device_put(state, NamedSharding(mesh, P()))
 
     ckpt = CheckpointManager(exp_dir, save_every=cfg.save_every)
+    if cfg.pretrained:
+        from ..train.checkpoint import load_pretrained_params
+
+        state = load_pretrained_params(state, cfg.pretrained)
+        logger.info("loaded pretrained weights from %s (non-strict)",
+                    cfg.pretrained)
     if cfg.resume and ckpt.has("latest"):
         state = ckpt.restore(state, "latest")
         logger.info("resumed from step %d", int(state.step))

@@ -368,3 +368,25 @@ def test_native_io_if_built():
     np.testing.assert_array_equal(outl, refl)
     z = native_io.clip_zscore(src * 1000 - 400, -991.0, 500.0)
     assert abs(z.mean()) < 1e-4 and abs(z.std() - 1.0) < 1e-4
+
+
+def test_class_weights():
+    from rsuper_tpu.data.class_weights import class_proportions, sample_class_weights
+
+    per_ct = pd.DataFrame({
+        "BDMAP_ID": ["a", "b", "c", "d"],
+        "number of pancreatic lesion instances": [1, 0, 0, 0],
+        "number of kidney lesion instances": [0, 0, 0, 0],
+    })
+    props = class_proportions(per_ct, ["a", "b", "c", "d"],
+                              ["pancreatic_lesion", "kidney_lesion"])
+    assert props["pancreatic_lesion"] == 0.25
+    assert props["healthy"] == 0.75
+
+    labels = np.zeros((3, 4, 4, 4), np.uint8)
+    labels[1, 0, 0, 0] = 1  # positive pancreatic lesion
+    names = ["background", "pancreatic_lesion", "kidney_lesion"]
+    w = sample_class_weights(labels, props, names)
+    assert w.sum() == pytest.approx(3.0, rel=1e-5)
+    # rare positive gets the largest weight
+    assert w[1] == w.max()

@@ -37,6 +37,10 @@ def parse_args(argv=None):
     p.add_argument("--pretrained", default=None)
     p.add_argument("--all_train", action="store_true")
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--class_weights", action="store_true",
+                   help="inverse-prevalence class weighting")
+    p.add_argument("--class_weights_csv", default=None,
+                   help="per-CT metadata CSV with lesion-instance counts")
     return p.parse_args(argv)
 
 
@@ -65,10 +69,13 @@ def main(argv=None):
     overrides = {
         k: v
         for k, v in vars(args).items()
-        if k not in ("preset", "config", "all_train", "max_steps") and v is not None
+        if k not in ("preset", "config", "all_train", "max_steps",
+                     "class_weights_csv") and v is not None
     }
     if args.resume:
         overrides["resume"] = True
+    if not args.class_weights:
+        overrides.pop("class_weights", None)
     cfg = load_config(args.preset, args.config, overrides)
 
     from rsuper_tpu.data.dataset import (
@@ -115,7 +122,19 @@ def main(argv=None):
         crop_size=tuple(cfg.training_size),
         tumor_classes=tuple(cfg.tumor_classes),
     )
-    dataset = RSuperDataset(train_cases, dcfg, report_rows=report_rows)
+    proportions = None
+    if cfg.class_weights and args.class_weights_csv:
+        import pandas as pd
+
+        from rsuper_tpu.data.class_weights import class_proportions
+
+        lesion_names = [c for c in classes if "lesion" in c]
+        proportions = class_proportions(
+            pd.read_csv(args.class_weights_csv),
+            [c.case_id for c in train_cases], lesion_names,
+        )
+    dataset = RSuperDataset(train_cases, dcfg, report_rows=report_rows,
+                            class_proportions=proportions)
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     model = get_model(cfg.arch, len(classes), cfg.model_args, dtype=dtype)
