@@ -105,16 +105,54 @@ def run_daemon(
 
 
 def main(argv=None):
+    """CLI mirror of the trainer's data discovery (reference AugmentEternal):
+
+        python -m rsuper_tpu.data.augment_daemon --data_root masks_npz/ \\
+            --report_root reports_npz/ --reports per_tumor.csv \\
+            --save_destination crops/ [--rounds N]
+    """
     import argparse
 
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--report_root", default=None)
+    p.add_argument("--reports", default=None)
     p.add_argument("--save_destination", required=True)
+    p.add_argument("--crop_size", type=int, nargs=3, default=(128, 128, 128))
+    p.add_argument("--tumor_classes", nargs="+", default=["kidney", "pancreas"])
     p.add_argument("--rounds", type=int, default=None)
-    args, _ = p.parse_known_args(argv)
-    raise SystemExit(
-        "wire a dataset via train.py-style discovery and call run_daemon(); "
-        "see tests/test_aux_daemon.py for the programmatic API"
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+    from train import discover_cases, load_classes  # repo-root CLI helpers
+
+    from .dataset import RSuperDataConfig, RSuperDataset, build_case_list
+    from .reports import clean_reports, load_reports
+
+    classes = load_classes(args.data_root) if args.data_root else ()
+    report_classes = load_classes(args.report_root) if args.report_root else ()
+    mask_cases = discover_cases(args.data_root) if args.data_root else []
+    report_cases = discover_cases(args.report_root) if args.report_root else []
+    report_rows = None
+    if args.reports:
+        rows = load_reports(args.reports)
+        rows = rows[rows["BDMAP_ID"].isin({c for c, _ in report_cases})]
+        rows, usable, _ = clean_reports(rows, list(args.tumor_classes))
+        report_cases = [(c, p) for c, p in report_cases if c in set(usable)]
+        report_rows = rows
+
+    cases = build_case_list(mask_cases, report_cases, seed=args.seed)
+    cfg = RSuperDataConfig(
+        classes=tuple(classes), report_classes=tuple(report_classes),
+        crop_size=tuple(args.crop_size),
+        tumor_classes=tuple(args.tumor_classes),
     )
+    dataset = RSuperDataset(cases, cfg, report_rows=report_rows)
+    run_daemon(dataset, args.save_destination, seed=args.seed,
+               max_rounds=args.rounds)
 
 
 if __name__ == "__main__":
