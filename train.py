@@ -41,6 +41,10 @@ def parse_args(argv=None):
                    help="inverse-prevalence class weighting")
     p.add_argument("--class_weights_csv", default=None,
                    help="per-CT metadata CSV with lesion-instance counts")
+    p.add_argument("--report_only", action="store_true",
+                   help="train on CT-Report cases only (reference --UFO_only)")
+    p.add_argument("--mask_only", action="store_true",
+                   help="train on CT-Mask cases only (reference --Atlas_only)")
     return p.parse_args(argv)
 
 
@@ -70,7 +74,8 @@ def main(argv=None):
         k: v
         for k, v in vars(args).items()
         if k not in ("preset", "config", "all_train", "max_steps",
-                     "class_weights_csv") and v is not None
+                     "class_weights_csv", "report_only", "mask_only")
+        and v is not None
     }
     if args.resume:
         overrides["resume"] = True
@@ -109,6 +114,12 @@ def main(argv=None):
         report_cases = [(c, p) for c, p in report_cases if c in set(usable)]
         report_rows = rows
 
+    if args.report_only and args.mask_only:
+        raise SystemExit("--report_only and --mask_only are mutually exclusive")
+    if args.report_only:
+        mask_cases = []
+    if args.mask_only:
+        report_cases = []
     cases = build_case_list(mask_cases, report_cases,
                             balance=cfg.balance_supervision, seed=cfg.seed)
     if args.all_train:
