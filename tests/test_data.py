@@ -390,3 +390,32 @@ def test_class_weights():
     assert w.sum() == pytest.approx(3.0, rel=1e-5)
     # rare positive gets the largest weight
     assert w[1] == w.max()
+
+
+def test_chunked_sampler():
+    from rsuper_tpu.data.sampler import ChunkedSampler
+
+    s = ChunkedSampler(num_items=10, samples_per_epoch=6, seed=0)
+    e0 = s.epoch_indices(0)
+    e1 = s.epoch_indices(1)
+    assert len(e0) == len(e1) == 6
+    # two epochs cover the first full permutation + wrap into a reshuffle
+    assert set(e0.tolist() + e1.tolist()) >= set(range(10)) - set(range(0))
+    # sharded: disjoint round-robin slices of the same chunk
+    a = ChunkedSampler(10, 8, shard=0, num_shards=2, seed=1)
+    b = ChunkedSampler(10, 8, shard=1, num_shards=2, seed=1)
+    ia, ib = a.epoch_indices(0), b.epoch_indices(0)
+    assert len(ia) == len(ib) == 4
+
+
+def test_organ_batch_sampler():
+    from rsuper_tpu.data.sampler import OrganBatchSampler
+
+    s = OrganBatchSampler(["liver", "kidney", "liver", "kidney"], batch_size=3,
+                          seed=0)
+    batch = s.batch(0)
+    organs = {"liver": {0, 2}, "kidney": {1, 3}}
+    assert len(batch) == 3
+    assert any(set(batch) <= v for v in organs.values())
+    # deterministic per step
+    np.testing.assert_array_equal(batch, s.batch(0))
