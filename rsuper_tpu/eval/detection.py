@@ -51,6 +51,47 @@ def detect_volumes(
     return {"volumes": volumes, "max_prob": max_prob}
 
 
+def detect_volume_from_mask(
+    mask: np.ndarray,
+    spacing: Sequence[float] = (1.0, 1.0, 1.0),
+    erode: bool = True,
+) -> int:
+    """Denoised volume of an already-binarised lesion mask — the fixed-0.5
+    variant used by the reference's ``test_with_reports.py`` /
+    ``calculate_sensitivity_specificity.py``."""
+    det = detect_volumes(mask.astype(np.float32), spacing, thresholds=(0.5,),
+                         erode=erode)
+    return det["volumes"][0.5]
+
+
+def detection_table_from_masks(
+    outputs_dir: str,
+    organs: Sequence[str] = ORGANS,
+    parts: int = 1,
+    part: int = 0,
+) -> pd.DataFrame:
+    """Per-case volumes from binary prediction masks
+    (``<case>/<organ>_lesion.nii.gz``, the `predict_folder` layout)."""
+    cases = sorted(
+        d for d in os.listdir(outputs_dir)
+        if os.path.isdir(os.path.join(outputs_dir, d))
+    )[part::parts]
+    rows = []
+    for case in cases:
+        row = {"BDMAP_ID": case}
+        for organ in organs:
+            path = os.path.join(outputs_dir, case, f"{organ}_lesion.nii.gz")
+            if not os.path.exists(path):
+                row[f"{organ} tumor volume predicted"] = np.nan
+                continue
+            img = read_nifti(path)
+            row[f"{organ} tumor volume predicted"] = detect_volume_from_mask(
+                img.data, img.spacing
+            )
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
 def detection_table(
     outputs_dir: str,
     thresholds: Sequence[float] = THRESHOLDS,

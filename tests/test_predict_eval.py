@@ -172,3 +172,19 @@ def test_sliding_window_2d():
     expect = 1.0 / (1.0 + np.exp(-1.2))
     assert probs.shape == (5, 40, 36, 2)
     np.testing.assert_allclose(probs, expect, rtol=1e-5)
+
+
+def test_detection_from_binary_masks(tmp_path):
+    from rsuper_tpu.eval.detection import (
+        detect_volume_from_mask,
+        detection_table_from_masks,
+    )
+
+    d = tmp_path / "BDMAP_Z"
+    d.mkdir()
+    mask = np.zeros((20, 20, 20), np.uint8)
+    mask[4:12, 4:12, 4:12] = 1
+    write_nifti(str(d / "pancreatic_lesion.nii.gz"), mask, np.eye(4))
+    assert detect_volume_from_mask(mask) == 512
+    df = detection_table_from_masks(str(tmp_path), organs=("pancreatic",))
+    assert df.iloc[0]["pancreatic tumor volume predicted"] == 512
