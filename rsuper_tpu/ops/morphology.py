@@ -23,6 +23,7 @@ reference's ``groups=C`` conv (``losses_foundation.py:87``).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -111,6 +112,29 @@ def _dilate_direct_cf(x, kernel_size: int):
     return (out[:, 0] > 0.5).astype(x.dtype)
 
 
+def _dilate_maxpool_cf(x, kernel_size: int):
+    """Cube-kernel dilation via three separable reduce_window maxes, with the
+    reference's ball-compensation size k/sqrt(2) (``dilate_volume_maxpool``,
+    ``losses_foundation.py:101-146``). Far cheaper than the exact ball for
+    large margins; shape differs at corners (cube vs sphere)."""
+    k = max(1, int(kernel_size / math.sqrt(2.0)))
+    if k % 2 == 0:
+        k += 1
+    if k <= 1:
+        return x
+    out = x.astype(jnp.float32)
+    pad = k // 2
+    for axis in range(x.ndim - 3, x.ndim):
+        dims = [1] * x.ndim
+        dims[axis] = k
+        padding = [(0, 0)] * x.ndim
+        padding[axis] = (pad, pad)
+        out = jax.lax.reduce_window(
+            out, -jnp.inf, jax.lax.max, tuple(dims), (1,) * x.ndim, padding
+        )
+    return (out > 0.5).astype(x.dtype)
+
+
 @partial(jax.jit, static_argnames=("kernel_size", "method"))
 def dilate_cf(x, kernel_size: int, method: str = "auto"):
     """Ball dilation for spatial-minor layouts: `x` is (..., D, H, W) with any
@@ -121,6 +145,8 @@ def dilate_cf(x, kernel_size: int, method: str = "auto"):
         kernel_size += 1
     if kernel_size <= 1:
         return x
+    if method == "maxpool":
+        return _dilate_maxpool_cf(x, kernel_size)
     lead = x.shape[:-3]
     flat = x.reshape((-1,) + x.shape[-3:])
     if method == "direct" or (method == "auto" and kernel_size <= 9):

@@ -234,3 +234,15 @@ def test_pallas_topn_multi_matches():
     assert masks.shape == (3, 16, 20, 24)
     for m, n in zip(masks, [5, 200, 2000]):
         assert abs(m.sum() - n) <= max(2, 0.01 * n)
+
+
+def test_dilate_cf_maxpool_variant():
+    from rsuper_tpu.ops.morphology import dilate_cf
+
+    x = np.zeros((1, 1, 16, 16, 16), np.float32)
+    x[0, 0, 8, 8, 8] = 1.0
+    out = np.asarray(dilate_cf(jnp.asarray(x), 7, method="maxpool"))
+    # k=7 -> cube size int(7/sqrt2)=4 -> 5; reach 2 per axis
+    assert out[0, 0, 8, 8, 8] == 1 and out[0, 0, 8, 8, 10] == 1
+    assert out[0, 0, 8, 8, 11] == 0
+    assert out[0, 0, 10, 10, 10] == 1  # cube corner included
