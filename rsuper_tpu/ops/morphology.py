@@ -149,7 +149,14 @@ def dilate_cf(x, kernel_size: int, method: str = "auto"):
         return _dilate_maxpool_cf(x, kernel_size)
     lead = x.shape[:-3]
     flat = x.reshape((-1,) + x.shape[-3:])
-    if method == "direct" or (method == "auto" and kernel_size <= 9):
+    # On TPU, XLA lowers single-channel depthwise conv3d to a scalar-loop
+    # fusion (~145 ms for k=7 at 96³ on v5e) while the FFT path costs a few
+    # ms regardless of kernel size — so 'auto' means FFT on TPU, and the
+    # direct conv only where XLA has a real conv engine (CPU tests).
+    use_direct = method == "direct" or (
+        method == "auto" and kernel_size <= 9 and jax.default_backend() != "tpu"
+    )
+    if use_direct:
         out = _dilate_direct_cf(flat, kernel_size)
     else:
         spatial = flat.shape[1:]
@@ -185,7 +192,10 @@ def dilate(x, kernel_size: int, method: str = "auto"):
     if kernel_size <= 1:
         return x
     arr, restore = _as_ndhwc(x)
-    if method == "direct" or (method == "auto" and kernel_size <= 9):
+    use_direct = method == "direct" or (
+        method == "auto" and kernel_size <= 9 and jax.default_backend() != "tpu"
+    )
+    if use_direct:
         out = _dilate_direct(arr, kernel_size)
     elif method in ("fft", "auto"):
         out = _dilate_fft(arr, kernel_size)
