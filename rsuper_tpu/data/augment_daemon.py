@@ -20,7 +20,6 @@ the reference (:421-433).
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from typing import Dict, Optional

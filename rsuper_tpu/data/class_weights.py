@@ -10,7 +10,7 @@ normalised to sum to C). Enabled via ``--class_weights`` in the reference;
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 import pandas as pd

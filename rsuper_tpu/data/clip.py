@@ -12,7 +12,7 @@ embeddings; `ClipRecordAdapter` attaches them to training records.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -13,7 +13,7 @@ Arrays: image (D, H, W) float32; labels (C, D, H, W) uint8.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 from scipy import ndimage as ndi

@@ -13,7 +13,7 @@ from __future__ import annotations
 import queue
 import threading
 from functools import partial
-from typing import Dict, Iterator, Optional, Sequence
+from typing import Dict, Iterator, Sequence
 
 import jax
 import jax.numpy as jnp

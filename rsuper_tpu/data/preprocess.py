@@ -20,12 +20,12 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 from scipy import ndimage as ndi
 
-from .nifti import NiftiImage, as_canonical, read_nifti
+from .nifti import as_canonical, read_nifti
 
 HU_CLIP = (-991.0, 500.0)
 

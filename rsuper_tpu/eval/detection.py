@@ -14,7 +14,7 @@ FileLock CSV appends; here a plain function → DataFrame, shardable by
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 import pandas as pd

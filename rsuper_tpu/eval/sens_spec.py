@@ -9,7 +9,7 @@ organ, plus a voxel-probability AUROC from the maximum probabilities.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 import pandas as pd

@@ -22,7 +22,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 from scipy import ndimage as ndi
 
-from ..data.nifti import NiftiImage, as_canonical, read_nifti, write_nifti
+from ..data.nifti import as_canonical, read_nifti, write_nifti
 from ..data.preprocess import clip_and_normalize, pad_to_min_size, resample_to_spacing
 from .sliding_window import sliding_window_inference
 

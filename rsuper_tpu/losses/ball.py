@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.balls import ball_kernel_wrapped, fft_ball_conv, insert_ball, odd_ceil
+from ..ops.balls import ball_kernel_wrapped, fft_ball_conv, insert_ball
 from ..ops.gwrp import gwrp_weights_binned
 from ..ops.morphology import dilate_cf
 from ..ops.selection import topn_masks_multi

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvNormAct, instance_norm, resize_trilinear
+from .layers import ConvNormAct, resize_trilinear
 
 Dtype = Any
 

@@ -7,13 +7,13 @@ models serve slice-based datasets and ablations (``--dimension 2d``).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Mlp, TransformerBlock, instance_norm, make_act
+from .layers import TransformerBlock, instance_norm, make_act
 
 Dtype = Any
 

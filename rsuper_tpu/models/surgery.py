@@ -13,7 +13,7 @@ Works on flax param pytrees: the class dimension is the LAST axis of the
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Sequence
 
 import jax
 import numpy as np

@@ -14,12 +14,12 @@ the reference UNet has none; MedFormer provides one) so the R-Super
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import BLOCKS, ConvNormAct, resize_trilinear
+from .layers import BLOCKS, resize_trilinear
 
 Dtype = Any
 

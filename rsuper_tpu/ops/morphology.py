@@ -112,6 +112,33 @@ def _dilate_direct_cf(x, kernel_size: int):
     return (out[:, 0] > 0.5).astype(x.dtype)
 
 
+def _axis_max(x, axis: int, size: int):
+    pad = size // 2
+    dims = [1] * x.ndim
+    dims[axis] = size
+    padding = [(0, 0)] * x.ndim
+    padding[axis] = (pad, pad)
+    return lax.reduce_window(x, -jnp.inf, lax.max, tuple(dims), (1,) * x.ndim,
+                             padding)
+
+
+def _dilate_ball5_cf(x):
+    """EXACT ball(radius 2.5) dilation via the decomposition
+    ball(2.5) = cube(3) ⊕ cross(1): offsets reachable are all |c|∞<=2 except
+    those with two or more coordinates at ±2 — exactly the k=5 discrete ball.
+    Implemented as separable reduce_window maxes: ~10 elementwise passes
+    instead of a 3D conv (145 ms scalar loop) or FFT (45 ms) on TPU."""
+    f = x.astype(jnp.float32)
+    sp = range(x.ndim - 3, x.ndim)
+    cube = f
+    for ax in sp:
+        cube = _axis_max(cube, ax, 3)
+    out = cube
+    for ax in sp:
+        out = jnp.maximum(out, _axis_max(cube, ax, 3))
+    return (out > 0.5).astype(x.dtype)
+
+
 def _dilate_maxpool_cf(x, kernel_size: int):
     """Cube-kernel dilation via three separable reduce_window maxes, with the
     reference's ball-compensation size k/sqrt(2) (``dilate_volume_maxpool``,
@@ -147,6 +174,8 @@ def dilate_cf(x, kernel_size: int, method: str = "auto"):
         return x
     if method == "maxpool":
         return _dilate_maxpool_cf(x, kernel_size)
+    if kernel_size == 5 and method in ("auto", "fast"):
+        return _dilate_ball5_cf(x)
     lead = x.shape[:-3]
     flat = x.reshape((-1,) + x.shape[-3:])
     # On TPU, XLA lowers single-channel depthwise conv3d to a scalar-loop

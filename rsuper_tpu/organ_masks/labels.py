@@ -14,7 +14,7 @@ its IO contract and provides everything downstream of the integer map.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -15,7 +15,7 @@ import json
 import time
 import urllib.error
 import urllib.request
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 
 class LLMClient:

@@ -12,7 +12,7 @@ the host, where raising is allowed.
 from __future__ import annotations
 
 import time
-from typing import Callable, Iterable, Optional
+from typing import Iterable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,7 @@ that checkpoints atomically (reference checkpoint contract:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

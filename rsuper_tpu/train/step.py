@@ -15,11 +15,9 @@ SURVEY.md §2.4) with no user-level collectives.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..losses import LesionChannelMap, LossConfig, calculate_loss

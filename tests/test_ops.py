@@ -246,3 +246,16 @@ def test_dilate_cf_maxpool_variant():
     assert out[0, 0, 8, 8, 8] == 1 and out[0, 0, 8, 8, 10] == 1
     assert out[0, 0, 8, 8, 11] == 0
     assert out[0, 0, 10, 10, 10] == 1  # cube corner included
+
+
+def test_dilate_cf_ball5_exact():
+    from rsuper_tpu.ops.morphology import dilate_cf
+
+    rng = np.random.default_rng(13)
+    x = (rng.random((2, 18, 20, 22)) > 0.97).astype(np.float32)
+    got = np.asarray(dilate_cf(jnp.asarray(x), 5))  # auto -> ball5 fast path
+    want = np.stack([
+        ndi.binary_dilation(x[i] > 0, structure=_scipy_ball(5)).astype(np.float32)
+        for i in range(2)
+    ])
+    np.testing.assert_array_equal(got, want)
