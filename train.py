@@ -45,6 +45,8 @@ def parse_args(argv=None):
                    help="train on CT-Report cases only (reference --UFO_only)")
     p.add_argument("--mask_only", action="store_true",
                    help="train on CT-Mask cases only (reference --Atlas_only)")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace for N steps")
     return p.parse_args(argv)
 
 
@@ -74,7 +76,8 @@ def main(argv=None):
         k: v
         for k, v in vars(args).items()
         if k not in ("preset", "config", "all_train", "max_steps",
-                     "class_weights_csv", "report_only", "mask_only")
+                     "class_weights_csv", "report_only", "mask_only",
+                     "profile_steps")
         and v is not None
     }
     if args.resume:
@@ -149,7 +152,8 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     model = get_model(cfg.arch, len(classes), cfg.model_args, dtype=dtype)
-    train(cfg, model, dataset, max_steps=args.max_steps)
+    train(cfg, model, dataset, max_steps=args.max_steps,
+          profile_steps=args.profile_steps)
 
 
 if __name__ == "__main__":
