@@ -110,6 +110,11 @@ def preprocess_case(
             )
             chans.append(pad_to_min_size(arr, min_size).astype(np.uint8))
         labels_arr = np.stack(chans, axis=0)
+        # synthesise background = no other label (reference nii2npz.py:58-60)
+        if "background" in classes and label_paths.get("background") is None:
+            bi = list(classes).index("background")
+            others = np.delete(labels_arr, bi, axis=0)
+            labels_arr[bi] = (others.sum(0) == 0).astype(np.uint8)
 
     out = {"image": image.astype(np.float32)}
     meta = {

@@ -419,3 +419,19 @@ def test_organ_batch_sampler():
     assert any(set(batch) <= v for v in organs.values())
     # deterministic per step
     np.testing.assert_array_equal(batch, s.batch(0))
+
+
+def test_preprocess_background_synthesis(tmp_path):
+    ct = np.zeros((16, 16, 16), np.float32)
+    organ = np.zeros((16, 16, 16), np.uint8)
+    organ[4:8, 4:8, 4:8] = 1
+    write_nifti(str(tmp_path / "ct.nii.gz"), ct, np.eye(4))
+    write_nifti(str(tmp_path / "organ.nii.gz"), organ, np.eye(4))
+    out = str(tmp_path / "c.npz")
+    preprocess_case(
+        str(tmp_path / "ct.nii.gz"),
+        {"background": None, "pancreas": str(tmp_path / "organ.nii.gz")},
+        out, classes=["background", "pancreas"], min_size=(16, 16, 16),
+    )
+    _, labels = load_case(out)
+    np.testing.assert_array_equal(labels[0], 1 - labels[1])
