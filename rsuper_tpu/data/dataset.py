@@ -126,6 +126,18 @@ def split_train_test(cases: List[Case], seed: int = 0, max_test: int = 200):
     return train, test
 
 
+def kfold_split(cases: List[Case], k: int, fold: int, seed: int = 0):
+    """Deterministic k-fold split (reference fold loop, ``train_ddp.py``
+    ``split_seed``/``k_fold`` config): fold `fold` is the test shard."""
+    assert 0 <= fold < k
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(cases))
+    shards = np.array_split(order, k)
+    test = [cases[i] for i in shards[fold]]
+    train = [cases[i] for s in range(k) if s != fold for i in shards[s]]
+    return train, test
+
+
 class RSuperDataset:
     """Index-based sampler: `sample(i, rng)` → fixed-shape record dict."""
 

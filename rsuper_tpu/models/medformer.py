@@ -474,14 +474,14 @@ class MedFormer(nn.Module):
 
         aux = None
         if self.aux_loss:
-            a = nn.Conv(self.num_classes, (1, 1, 1), dtype=jnp.float32,
+            a = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32, name="aux_out")(out)
-            aux = resize_trilinear(a, x.shape[1:4]).astype(jnp.float32)
+            aux = resize_trilinear(a, x.shape[1:4])
 
         out, sem = up(6, out, x1, sem, None, False)
         out, sem = up(7, out, x0, sem, None, False)
 
-        logits = nn.Conv(self.num_classes, (1, 1, 1), dtype=jnp.float32,
+        logits = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
                          param_dtype=jnp.float32, name="outc")(out)
 
         ret = {"segmentation": [logits, aux] if self.aux_loss else logits}

@@ -117,11 +117,11 @@ class UNet3D(nn.Module):
                           kernel_size=self.kernel_size[3 - i],
                           norm=self.norm, dtype=self.dtype)(out, skips[3 - i])
             if self.aux_head and i == 1:
-                a = nn.Conv(self.num_classes, (1, 1, 1), dtype=jnp.float32,
+                a = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
                             param_dtype=jnp.float32, name="aux_out")(out)
-                aux = resize_trilinear(a, x.shape[1:4]).astype(jnp.float32)
+                aux = resize_trilinear(a, x.shape[1:4])
 
-        logits = nn.Conv(self.num_classes, (1, 1, 1), dtype=jnp.float32,
+        logits = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
                          param_dtype=jnp.float32, name="outc")(out)
         if self.aux_head:
             return {"segmentation": [logits, aux]}

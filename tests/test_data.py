@@ -435,3 +435,16 @@ def test_preprocess_background_synthesis(tmp_path):
     )
     _, labels = load_case(out)
     np.testing.assert_array_equal(labels[0], 1 - labels[1])
+
+
+def test_kfold_split():
+    from rsuper_tpu.data.dataset import kfold_split
+
+    cases = [Case(f"c{i}", "p", False) for i in range(10)]
+    seen_test = set()
+    for f in range(5):
+        tr, te = kfold_split(cases, 5, f, seed=3)
+        assert len(te) == 2 and len(tr) == 8
+        assert not {c.case_id for c in tr} & {c.case_id for c in te}
+        seen_test |= {c.case_id for c in te}
+    assert len(seen_test) == 10  # folds partition the data

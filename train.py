@@ -47,6 +47,9 @@ def parse_args(argv=None):
                    help="train on CT-Mask cases only (reference --Atlas_only)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace for N steps")
+    p.add_argument("--k_fold", type=int, default=0,
+                   help="k-fold cross-validation (0 = simple split)")
+    p.add_argument("--fold", type=int, default=0, help="fold index to run")
     return p.parse_args(argv)
 
 
@@ -77,7 +80,7 @@ def main(argv=None):
         for k, v in vars(args).items()
         if k not in ("preset", "config", "all_train", "max_steps",
                      "class_weights_csv", "report_only", "mask_only",
-                     "profile_steps")
+                     "profile_steps", "k_fold", "fold")
         and v is not None
     }
     if args.resume:
@@ -127,6 +130,11 @@ def main(argv=None):
                             balance=cfg.balance_supervision, seed=cfg.seed)
     if args.all_train:
         train_cases, test_cases = cases, []
+    elif args.k_fold:
+        from rsuper_tpu.data.dataset import kfold_split
+
+        train_cases, test_cases = kfold_split(cases, args.k_fold, args.fold,
+                                              seed=cfg.seed)
     else:
         train_cases, test_cases = split_train_test(cases, seed=cfg.seed)
 
