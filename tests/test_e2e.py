@@ -130,3 +130,65 @@ def test_sliding_window_organ_gating():
     )
     assert probs[:16, :16, :16].min() > 0.9
     assert probs[40:, 40:, 40:].max() == 0.0
+
+
+@pytest.mark.slow
+def test_report_supervision_learns_tumor():
+    """The R-Super mechanism end-to-end: NO per-voxel tumor labels, only a
+    report (volume+diameter in a segment) — after training, the lesion
+    channel must light up inside the reported segment and stay dark outside.
+    """
+    from rsuper_tpu.losses import LesionChannelMap, LossConfig
+    from rsuper_tpu.losses.ball import BallLossConfig
+    from rsuper_tpu.models import get_model
+    from rsuper_tpu.parallel import make_mesh, shard_batch
+    from rsuper_tpu.train import build_train_step, create_train_state, make_optimizer
+
+    classes = ["background", "pancreas", "pancreatic_lesion"]
+    lmap = LesionChannelMap.from_classes(classes)
+    B, S, C = 4, 24, 3
+    rng = np.random.default_rng(0)
+    # CT: bright blob where the tumor is (so the net CAN find it)
+    img = rng.normal(size=(B, S, S, S, 1)).astype(np.float32) * 0.1
+    img[:, 8:14, 8:14, 8:14, 0] += 2.0
+    seg = np.zeros((B, S, S, S, C), np.float32)
+    seg[:, 6:18, 6:18, 6:18, 2] = 1.0  # reported segment (lesion channel)
+    lab = np.zeros_like(seg)
+    lab[:, 6:18, 6:18, 6:18, 1] = 1.0  # organ label
+    vols = np.zeros((B, 10), np.float32)
+    vols[:, 0] = 200.0
+    dias = np.zeros((B, 10, 3), np.float32)
+    dias[:, 0] = [7.0, 7.0, 7.0]
+    batch = {
+        "image": jnp.asarray(img), "label": jnp.asarray(lab),
+        "unk": jnp.asarray(seg.copy()), "segment_mask": jnp.asarray(seg),
+        "volumes": jnp.asarray(vols), "diameters": jnp.asarray(dias),
+    }
+
+    mesh = make_mesh(jax.devices()[:4])
+    model = get_model("resunet", C, {"base_chan": 4}, dtype=jnp.float32)
+    tx = make_optimizer(base_lr=3e-3, warmup_epochs=0, max_epochs=100,
+                        steps_per_epoch=10)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch["image"][:1], tx)
+    cfg = LossConfig(loss="ball", ball_max_diameter=16)
+    step = build_train_step(model, lmap, cfg, mesh=mesh)
+    batch = shard_batch(batch, mesh)
+    for _ in range(60):
+        state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["overall"]))
+
+    # The ball loss's contract: the lesion channel ends up with roughly the
+    # REPORTED tumor volume of confident voxels inside the reported segment
+    # (the exact position bootstraps from the net's own output — with real
+    # data the image correlation across cases pins it down), and stays dark
+    # outside the segment where plain BCE-to-zero applies.
+    out = model.apply(state.params, batch["image"])["segmentation"]
+    probs = np.asarray(jax.nn.sigmoid(out[..., 2]))
+    seg_sp = seg[..., 2] > 0
+    inside_hot = int(((probs > 0.5) & seg_sp).sum()) / B
+    outside_hot = int(((probs > 0.5) & ~seg_sp).sum()) / B
+    # reported volume 200, small/big margins 160..240 (+ border tolerance)
+    assert 60 <= inside_hot <= 800, f"hot voxels in segment: {inside_hot}"
+    assert outside_hot <= 0.1 * max(inside_hot, 1), (inside_hot, outside_hot)
+    # and the segment is clearly brighter than the far background
+    assert probs[:, 6:18, 6:18, 6:18].mean() > 10 * probs[:, :4, :4, :4].mean()
