@@ -47,14 +47,31 @@ def _grid(shape, window, stride):
     return np.array([(z, y, x) for z in zs for y in ys for x in xs], np.int32)
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "window", "batch", "num_classes"))
-def _run_windows(apply_fn, params, volume, starts, valid, window, batch, num_classes):
+def _gaussian_window(window, sigma_scale: float = 0.125):
+    """nnU-Net-style importance map: centre voxels outweigh window borders."""
+    ws = []
+    for w in window:
+        c = (w - 1) / 2.0
+        x = np.arange(w) - c
+        ws.append(np.exp(-(x**2) / (2 * (w * sigma_scale) ** 2)))
+    m = ws[0][:, None, None] * ws[1][None, :, None] * ws[2][None, None, :]
+    m = m / m.max()
+    return jnp.asarray(np.maximum(m, 1e-4), jnp.float32)[..., None]
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "window", "batch", "num_classes",
+                                   "blend"))
+def _run_windows(apply_fn, params, volume, starts, valid, window, batch,
+                 num_classes, blend="uniform"):
     """volume: (D, H, W, 1). starts: (N, 3) padded to a multiple of `batch`.
     valid: (N,) 0/1. Returns prob sum + hit count accumulators."""
     D, H, W, _ = volume.shape
     acc = jnp.zeros((D, H, W, num_classes), jnp.float32)
     cnt = jnp.zeros((D, H, W, 1), jnp.float32)
     n_batches = starts.shape[0] // batch
+    wmap = _gaussian_window(window) if blend == "gaussian" else jnp.ones(
+        (*window, 1), jnp.float32
+    )
 
     def gather(start):
         return jax.lax.dynamic_slice(
@@ -67,8 +84,10 @@ def _run_windows(apply_fn, params, volume, starts, valid, window, batch, num_cla
         vl = jax.lax.dynamic_slice(valid, (i * batch,), (batch,))
         wins = jax.vmap(gather)(sl)
         probs = jax.nn.sigmoid(apply_fn(params, wins).astype(jnp.float32))
-        probs = probs * vl[:, None, None, None, None]
-        ones = jnp.broadcast_to(vl[:, None, None, None, None], (batch, *window, 1))
+        probs = probs * vl[:, None, None, None, None] * wmap[None]
+        ones = jnp.broadcast_to(
+            vl[:, None, None, None, None] * wmap[None], (batch, *window, 1)
+        )
 
         def scatter(carry, j):
             acc, cnt = carry
@@ -96,13 +115,16 @@ def sliding_window_inference(
     overlap: float = 0.5,
     batch: int = 4,
     organ_mask: Optional[np.ndarray] = None,
+    blend: str = "uniform",
 ) -> np.ndarray:
     """Blended sigmoid probabilities (D, H, W, C) for one volume.
 
     `apply_fn(params, windows)` maps (K, *window, 1) → (K, *window, C) logits.
     `volume`: (D, H, W) float32. `organ_mask`: optional (D, H, W) binary —
     windows with zero overlap are skipped (their region stays probability 0),
-    the reference's pancreas-mask window gating.
+    the reference's pancreas-mask window gating. `blend`: 'uniform' (the
+    reference's hit-count average, inference3d.py:63-103) or 'gaussian'
+    (nnU-Net-style centre-weighted importance).
     """
     window = tuple(window)
     stride = tuple(max(1, int(w * (1.0 - overlap))) for w in window)
@@ -136,8 +158,9 @@ def sliding_window_inference(
         window,
         batch,
         num_classes,
+        blend=blend,
     )
-    probs = acc / jnp.maximum(cnt, 1.0)
+    probs = acc / jnp.maximum(cnt, 1e-4)
     probs = np.asarray(probs)
     if any(pad):
         probs = probs[: orig_shape[0], : orig_shape[1], : orig_shape[2]]
