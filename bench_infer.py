@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Secondary benchmark: sliding-window inference throughput.
+
+Measures whole-volume prediction speed (MedFormer, 96³ windows, half overlap,
+4-window batches, on-device accumulation) on a synthetic 256×256×256 CT —
+the reference's predict path round-trips every window through the CPU
+(``inference/inference3d.py:63-103``); this one transfers a single blended
+volume. Prints one JSON line: volumes/min/chip.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import CLASSES
+
+
+def main():
+    from rsuper_tpu.inference import sliding_window_inference
+    from rsuper_tpu.models import get_model
+    from rsuper_tpu.train.loop import init_params_on_host
+
+    C = len(CLASSES)
+    model = get_model("medformer", C, {}, dtype=jnp.bfloat16)
+    params = init_params_on_host(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 96, 1))
+    )
+    params = jax.device_put(params, jax.devices()[0])
+
+    def apply_fn(p, x):
+        out = model.apply(p, x)["segmentation"]
+        return out[0] if isinstance(out, (list, tuple)) else out
+
+    vol = np.random.default_rng(0).normal(size=(256, 256, 256)).astype(np.float32)
+
+    t0 = time.time()
+    probs = sliding_window_inference(apply_fn, params, vol, C,
+                                     window=(96, 96, 96), batch=4)
+    warm = time.time() - t0  # includes compile
+
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        probs = sliding_window_inference(apply_fn, params, vol, C,
+                                         window=(96, 96, 96), batch=4)
+    elapsed = (time.time() - t0) / reps
+    assert np.isfinite(probs).all()
+
+    print(json.dumps({
+        "metric": "sliding_window_volumes_per_min_per_chip",
+        "value": round(60.0 / elapsed, 2),
+        "unit": "256^3 volumes/min (96^3 windows, 0.5 overlap, MedFormer)",
+        "seconds_per_volume": round(elapsed, 2),
+        "first_call_with_compile_s": round(warm, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,30 @@ from .augment import (
 from .dataset import RSuperDataset, to_channels_last
 
 
+_BITS = 24  # binary channels per float32 word (exact integers up to 2^24)
+
+
+def _pack_bits(m):
+    """(..., C) binary -> (..., ceil(C/24)) float words (exact)."""
+    C = m.shape[-1]
+    words = []
+    for s in range(0, C, _BITS):
+        chunk = m[..., s : s + _BITS]
+        pows = (2.0 ** jnp.arange(chunk.shape[-1], dtype=jnp.float32))
+        words.append(jnp.sum(chunk * pows, axis=-1))
+    return jnp.stack(words, axis=-1)
+
+
+def _unpack_bits(w, C):
+    outs = []
+    for i, s in enumerate(range(0, C, _BITS)):
+        n = min(_BITS, C - s)
+        word = w[..., i]
+        for b in range(n):
+            outs.append(jnp.mod(jnp.floor(word / (2.0**b)), 2.0))
+    return jnp.stack(outs, axis=-1)
+
+
 @partial(jax.jit, static_argnames=("crop_size", "affine_prob", "scale", "rotate",
                                    "translate", "intensity_prob"))
 def device_augment(
@@ -48,12 +72,16 @@ def device_augment(
     * centre-crop from the margined load size down to `crop_size`;
     * the 6-op intensity stack (p=0.3 each, reference :493-507).
 
-    Input arrays are channels-last records stacked on axis 0.
+    TPU notes: the 3·C binary mask channels are bit-packed into float words
+    before the nearest-neighbour affine gather (24× less gather traffic — the
+    unpacked version costs more than the whole train step), and items run
+    under ``lax.map`` so un-warped records truly skip the gathers.
     """
     B = batch["image"].shape[0]
     keys = jax.random.split(key, B)
 
-    def one(img, lab, unk, seg, flag, k):
+    def one(args):
+        img, lab, unk, seg, flag, k = args
         k_aff, k_coin, k_int = jax.random.split(k, 3)
         theta = _affine_theta(k_aff, scale, rotate, translate, (0.0, 0.0, 0.0))
         coin = jax.random.uniform(k_coin) < affine_prob
@@ -61,24 +89,34 @@ def device_augment(
 
         img3 = img[..., 0]
         masks = jnp.concatenate([lab, unk, seg], axis=-1)
-        img_a = affine_sample(img3, theta, order=1)
-        masks_a = affine_sample(masks, theta, order=0)
-        img3 = jnp.where(do_aff, img_a, img3)
-        masks = jnp.where(do_aff, masks_a, masks)
+        C3 = masks.shape[-1]
+
+        def warp(operands):
+            img3, masks = operands
+            img_a = affine_sample(img3, theta, order=1)
+            packed = _pack_bits(masks)
+            packed_a = affine_sample(packed, theta, order=0)
+            return img_a, _unpack_bits(packed_a, C3)
+
+        img3, masks = jax.lax.cond(do_aff, warp, lambda o: o, (img3, masks))
 
         img3 = center_crop(img3, crop_size)
         masks = center_crop(masks, crop_size)
         img3 = intensity_augment(img3, k_int, p=intensity_prob)
         C = lab.shape[-1]
-        return img3[..., None], masks[..., :C], masks[..., C : 2 * C], masks[..., 2 * C :]
+        return (img3[..., None], masks[..., :C], masks[..., C : 2 * C],
+                masks[..., 2 * C :])
 
-    img, lab, unk, seg = jax.vmap(one)(
-        batch["image"],
-        batch["label"].astype(jnp.float32),
-        batch["unk"].astype(jnp.float32),
-        batch["segment_mask"].astype(jnp.float32),
-        batch.get("apply_affine", jnp.ones((B,), jnp.float32)),
-        keys,
+    img, lab, unk, seg = jax.lax.map(
+        one,
+        (
+            batch["image"],
+            batch["label"].astype(jnp.float32),
+            batch["unk"].astype(jnp.float32),
+            batch["segment_mask"].astype(jnp.float32),
+            batch.get("apply_affine", jnp.ones((B,), jnp.float32)),
+            keys,
+        ),
     )
     out = dict(batch)
     out.update(image=img, label=lab, unk=unk, segment_mask=seg)

@@ -448,3 +448,15 @@ def test_kfold_split():
         assert not {c.case_id for c in tr} & {c.case_id for c in te}
         seen_test |= {c.case_id for c in te}
     assert len(seen_test) == 10  # folds partition the data
+
+
+def test_pack_unpack_bits():
+    from rsuper_tpu.data.pipeline import _pack_bits, _unpack_bits
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    m = (rng.random((4, 4, 4, 50)) > 0.5).astype(np.float32)
+    w = _pack_bits(jnp.asarray(m))
+    assert w.shape == (4, 4, 4, 3)  # ceil(50/24)
+    back = np.asarray(_unpack_bits(w, 50))
+    np.testing.assert_array_equal(back, m)
