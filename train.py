@@ -160,8 +160,24 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     model = get_model(cfg.arch, len(classes), cfg.model_args, dtype=dtype)
-    train(cfg, model, dataset, max_steps=args.max_steps,
-          profile_steps=args.profile_steps)
+
+    def iter_test_cases():
+        """Lazily load (image, labels) pairs for in-training validation
+        (only CT-Mask cases carry full ground truth)."""
+        from rsuper_tpu.data.preprocess import load_case
+
+        for c in test_cases:
+            if c.is_report:
+                continue
+            yield load_case(c.path, num_classes=len(classes))
+
+    class _LazyTestCases:  # re-iterable: validation may run every val_freq epochs
+        def __iter__(self):
+            return iter_test_cases()
+
+    train(cfg, model, dataset,
+          test_cases=_LazyTestCases() if test_cases else None,
+          max_steps=args.max_steps, profile_steps=args.profile_steps)
 
 
 if __name__ == "__main__":
