@@ -143,6 +143,9 @@ def train(
                     scale=tuple(cfg.scale), rotate=tuple(cfg.rotate),
                     translate=tuple(cfg.translate),
                 )
+                # lax.map inside device_augment replicates its outputs;
+                # restore the data-axis sharding the train step expects
+                batch = shard_batch(batch, mesh)
             with timer.phase("step"):
                 state, losses = step_fn(state, batch)
                 loss = float(losses["overall"])
