@@ -188,3 +188,61 @@ def test_detection_from_binary_masks(tmp_path):
     assert detect_volume_from_mask(mask) == 512
     df = detection_table_from_masks(str(tmp_path), organs=("pancreatic",))
     assert df.iloc[0]["pancreatic tumor volume predicted"] == 512
+
+
+def test_validate_cases():
+    import jax.numpy as jnp
+    from rsuper_tpu.train.validation import validate_cases
+
+    D = 24
+    target = np.zeros((2, D, D, D), np.uint8)
+    target[1, 6:18, 6:18, 6:18] = 1
+
+    def apply_fn(params, x):  # predicts exactly the cube on channel 1
+        logits = np.full((x.shape[0], *x.shape[1:4], 2), -10.0, np.float32)
+        return jnp.asarray(logits).at[..., 1].set(10.0)
+
+    # constant prediction of "everything is class 1"
+    res = validate_cases(apply_fn, None, [(np.zeros((D, D, D), np.float32),
+                                           target)], 2,
+                         window=(16, 16, 16), compute_distances=True, batch=2)
+    # class 0 absent from GT -> not counted; class 1 dice = 2*V/(V+D^3)
+    v = 12**3
+    want = 2 * v / (v + D**3)
+    assert res["cases_per_class"][1] == 1 and res["cases_per_class"][0] == 0
+    assert res["dice"][1] == pytest.approx(want, rel=1e-3)
+    assert res["hd95"][1] > 0
+
+
+def test_predict_folder_end_to_end(tmp_path):
+    import jax.numpy as jnp
+    from rsuper_tpu.data.nifti import read_nifti
+    from rsuper_tpu.inference.predict import predict_folder
+
+    # two tiny CTs with a bright blob (organ) and a brighter core (lesion)
+    for name in ("BDMAP_P1", "BDMAP_P2"):
+        ct = np.zeros((20, 20, 20), np.float32)
+        ct[4:12, 4:12, 4:12] = 400.0
+        ct[6:9, 6:9, 6:9] = 500.0
+        write_nifti(str(tmp_path / f"{name}.nii.gz"), ct, np.eye(4))
+    out_dir = str(tmp_path / "preds")
+    classes = ["pancreas", "pancreatic_lesion"]
+
+    def apply_fn(params, x):
+        # input-driven prediction: spatially consistent across windows
+        organ = jnp.where(x[..., 0] > 0.1, 10.0, -10.0)
+        lesion = jnp.where(x[..., 0] > 1.2, 10.0, -10.0)
+        return jnp.stack([organ, lesion], axis=-1)
+
+    done = predict_folder([apply_fn], [None], str(tmp_path), out_dir, classes,
+                          window=(16, 16, 16), batch=2, save_probabilities=True)
+    assert sorted(done) == ["BDMAP_P1", "BDMAP_P2"]
+    lesion = read_nifti(os.path.join(out_dir, "BDMAP_P1", "pancreatic_lesion.nii.gz"))
+    assert lesion.data.shape == (20, 20, 20)
+    assert lesion.data[7, 7, 7] == 1 and lesion.data[15, 15, 15] == 0
+    assert os.path.exists(os.path.join(out_dir, "BDMAP_P1",
+                                       "pancreatic_lesion_prob.nii.gz"))
+    # resume skips everything the second time
+    done2 = predict_folder([apply_fn], [None], str(tmp_path), out_dir, classes,
+                           window=(16, 16, 16), batch=2)
+    assert sorted(done2) == ["BDMAP_P1", "BDMAP_P2"]
