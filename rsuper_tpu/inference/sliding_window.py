@@ -116,6 +116,7 @@ def sliding_window_inference(
     batch: int = 4,
     organ_mask: Optional[np.ndarray] = None,
     blend: str = "uniform",
+    out_dtype=np.float16,
 ) -> np.ndarray:
     """Blended sigmoid probabilities (D, H, W, C) for one volume.
 
@@ -124,7 +125,9 @@ def sliding_window_inference(
     windows with zero overlap are skipped (their region stays probability 0),
     the reference's pancreas-mask window gating. `blend`: 'uniform' (the
     reference's hit-count average, inference3d.py:63-103) or 'gaussian'
-    (nnU-Net-style centre-weighted importance).
+    (nnU-Net-style centre-weighted importance). `out_dtype`: dtype of the
+    device→host transfer — float16 halves the (D,H,W,C) probability volume's
+    transfer cost at negligible precision loss for [0,1] probabilities.
     """
     window = tuple(window)
     stride = tuple(max(1, int(w * (1.0 - overlap))) for w in window)
@@ -160,7 +163,7 @@ def sliding_window_inference(
         num_classes,
         blend=blend,
     )
-    probs = acc / jnp.maximum(cnt, 1e-4)
+    probs = (acc / jnp.maximum(cnt, 1e-4)).astype(jnp.dtype(out_dtype))
     probs = np.asarray(probs)
     if any(pad):
         probs = probs[: orig_shape[0], : orig_shape[1], : orig_shape[2]]

@@ -115,7 +115,12 @@ def test_sliding_window_blending_uniform():
     probs = sliding_window_inference(apply_fn, None, vol, 2, window=(16, 16, 16),
                                      batch=3)
     expect = 1.0 / (1.0 + np.exp(-1.2))
-    np.testing.assert_allclose(probs, expect, rtol=1e-5)
+    np.testing.assert_allclose(probs, expect, rtol=1e-3)  # fp16 transfer
+    # full-precision transfer on request
+    probs32 = sliding_window_inference(apply_fn, None, vol, 2,
+                                       window=(16, 16, 16), batch=3,
+                                       out_dtype=np.float32)
+    np.testing.assert_allclose(probs32, expect, rtol=1e-5)
 
 
 def test_sliding_window_organ_gating():
