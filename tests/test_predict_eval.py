@@ -79,7 +79,7 @@ def test_predict_volume_z_chunking():
     finally:
         P.Z_CHUNK = old
     expect = 1.0 / (1.0 + np.exp(-3.0))
-    np.testing.assert_allclose(probs[..., 0], expect, rtol=1e-5)
+    np.testing.assert_allclose(probs[..., 0], expect, rtol=1e-3)  # fp16 transfer
 
 
 def test_preprocess_restore_roundtrip(tmp_path):
