@@ -29,8 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_PATCHES_PER_SEC = 2.0
-BATCH = 1  # per-chip batch on 16 GB v5e; DP over the mesh scales the global batch
-SIZE = 96
+BATCH = int(os.environ.get("RSUPER_BENCH_BATCH", "1"))  # per-chip; DP scales it
+SIZE = int(os.environ.get("RSUPER_BENCH_SIZE", "96"))
 CLASSES = [
     "background", "aorta", "gall_bladder", "kidney_left", "kidney_right",
     "kidney_lesion", "liver", "liver_lesion", "pancreas", "pancreas_head",
@@ -107,9 +107,9 @@ def main():
 
     value = BATCH * iters / elapsed
     print(json.dumps({
-        "metric": "train_patches_per_sec_per_chip_96",
+        "metric": f"train_patches_per_sec_per_chip_{SIZE}",
         "value": round(value, 3),
-        "unit": "96^3 CT patches/s/chip (MedFormer fwd+bwd, full R-Super losses)",
+        "unit": f"{SIZE}^3 CT patches/s/chip (MedFormer fwd+bwd, full R-Super losses)",
         "vs_baseline": round(value / BASELINE_PATCHES_PER_SEC, 3),
     }))
 
