@@ -31,6 +31,9 @@ import numpy as np
 BASELINE_PATCHES_PER_SEC = 2.0
 BATCH = int(os.environ.get("RSUPER_BENCH_BATCH", "1"))  # per-chip; DP scales it
 SIZE = int(os.environ.get("RSUPER_BENCH_SIZE", "96"))
+# rematerialisation trades ~45% extra model time for activation memory; at
+# 96³ batch 1 everything fits without it (see docs/perf.md round-2 numbers)
+REMAT = os.environ.get("RSUPER_BENCH_REMAT", "0") == "1"
 CLASSES = [
     "background", "aorta", "gall_bladder", "kidney_left", "kidney_right",
     "kidney_lesion", "liver", "liver_lesion", "pancreas", "pancreas_head",
@@ -55,7 +58,7 @@ def main():
     dev = jax.devices()[0]
     lmap = LesionChannelMap.from_classes(CLASSES)
     C = len(CLASSES)
-    model = get_model("medformer", C, {}, dtype=jnp.bfloat16)
+    model = get_model("medformer", C, {"remat": REMAT}, dtype=jnp.bfloat16)
     tx = make_optimizer(base_lr=6e-4, warmup_epochs=0, max_epochs=100,
                         steps_per_epoch=1000)
 

@@ -75,6 +75,11 @@ class TrainConfig:
     seed: int = 0
     data_shards: int = 1
     shard_index: int = 0
+    # fetch the loss to the host (NaN guard + meters) every N steps only —
+    # a per-step float() blocks on the device and defeats async dispatch
+    # (worst case a NaN poisons N-1 extra steps before the abort; the saved
+    # checkpoints are epoch-grained so nothing durable is lost)
+    nan_check_every: int = 20
 
     def loss_config(self):
         from ..losses import LossConfig

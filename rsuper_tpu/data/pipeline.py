@@ -52,19 +52,17 @@ def _unpack_bits(w, C):
     return jnp.stack(outs, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("crop_size", "affine_prob", "scale", "rotate",
-                                   "translate", "intensity_prob"))
-def device_augment(
+def _augment_items(
     batch: Dict[str, jnp.ndarray],
-    key,
-    crop_size=(96, 96, 96),
-    affine_prob: float = 0.4,
-    scale=(0.0, 0.0, 0.0),
-    rotate=(30.0, 30.0, 30.0),
-    translate=(0.0, 0.0, 0.0),
-    intensity_prob: float = 0.3,
+    keys,
+    crop_size,
+    affine_prob: float,
+    scale,
+    rotate,
+    translate,
+    intensity_prob: float,
 ):
-    """Batched on-device augmentation:
+    """Per-item augmentation over the leading (local) batch axis.
 
     * random affine (scale/rotate/translate) with probability `affine_prob`,
       gated by each record's ``apply_affine`` flag (segment-targeted report
@@ -78,7 +76,6 @@ def device_augment(
     under ``lax.map`` so un-warped records truly skip the gathers.
     """
     B = batch["image"].shape[0]
-    keys = jax.random.split(key, B)
 
     def one(args):
         img, lab, unk, seg, flag, k = args
@@ -122,6 +119,66 @@ def device_augment(
     out.update(image=img, label=lab, unk=unk, segment_mask=seg)
     out.pop("apply_affine", None)
     return out
+
+
+@partial(jax.jit, static_argnames=("crop_size", "affine_prob", "scale", "rotate",
+                                   "translate", "intensity_prob"))
+def device_augment(
+    batch: Dict[str, jnp.ndarray],
+    key,
+    crop_size=(96, 96, 96),
+    affine_prob: float = 0.4,
+    scale=(0.0, 0.0, 0.0),
+    rotate=(30.0, 30.0, 30.0),
+    translate=(0.0, 0.0, 0.0),
+    intensity_prob: float = 0.3,
+):
+    """Single-device batched augmentation (see `_augment_items`). For a
+    multi-device mesh use `build_augment_step`, which keeps the data-axis
+    sharding instead of replicating through ``lax.map``."""
+    keys = jax.random.split(key, batch["image"].shape[0])
+    return _augment_items(batch, keys, crop_size, affine_prob, scale, rotate,
+                          translate, intensity_prob)
+
+
+def build_augment_step(
+    mesh,
+    crop_size=(96, 96, 96),
+    affine_prob: float = 0.4,
+    scale=(0.0, 0.0, 0.0),
+    rotate=(30.0, 30.0, 30.0),
+    translate=(0.0, 0.0, 0.0),
+    intensity_prob: float = 0.3,
+):
+    """Returns ``augment(batch, keys) -> batch`` jitted over `mesh` with every
+    array sharded on the data axis in AND out — the train loop does one
+    host→device transfer per step and no re-sharding afterwards (the naive
+    ``lax.map`` version replicates its outputs, forcing a second device_put:
+    per-step H2D/ICI traffic for nothing).
+
+    `keys`: (B,) PRNG keys (``jax.random.split(step_key, B)``); each shard
+    augments its local items under the same ``lax.map``+``cond`` skip.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:  # jax>=0.4.35
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.shard_map import shard_map
+
+    def local_augment(batch, keys):
+        return _augment_items(batch, keys, crop_size, affine_prob, scale,
+                              rotate, translate, intensity_prob)
+
+    sharded = shard_map(
+        local_augment,
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P("data"),
+        check_rep=False,
+    )
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(sharded, in_shardings=(data, data), out_shardings=data)
 
 
 class PrefetchLoader:

@@ -20,10 +20,14 @@ first):
      BCE toward zero over the penalisable region.
 
 TPU-first redesign (every shape static, no data-dependent python control flow):
-* batch items run under ``lax.map`` so the no-tumor branch is a real
-  ``lax.cond`` skip (mask-only items pay nothing for ball machinery);
-* the per-tumor loop is a ``lax.scan`` over ``T`` zero-padded tumor slots with
-  validity predicates;
+* the whole batch is processed together — tumor slot t of EVERY item runs in
+  one batched step (shared/batched FFTs, one Pallas selection kernel per
+  slot), and the executed slot count is the batch MAX tumor count, not the
+  sum: ``lax.scan`` over ``T`` zero-padded slots, each under a ``lax.cond``
+  on "any item has a valid tumor in this slot" (round-1 ran items serially
+  under ``lax.map``, a 2× wall at the reference's per-chip batch 2);
+* an all-mask-only batch skips the entire construction via an outer
+  ``lax.cond``, and items without tumors get the cheap no-tumor BCE;
 * the ball convolution runs in the FFT domain (`ops.balls.fft_ball_conv`) —
   cost independent of the reported diameter;
 * dynamic top-k becomes threshold-selection by bisection (`ops.selection`),
@@ -39,6 +43,7 @@ indices either — gradients flow only through the BCE/Dice on the raw logits).
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -48,7 +53,7 @@ from jax import lax
 from ..ops.balls import ball_kernel_wrapped, fft_ball_conv, insert_ball
 from ..ops.gwrp import gwrp_weights_binned
 from ..ops.morphology import dilate_cf
-from ..ops.selection import topn_masks_multi
+from ..ops.selection import topn_masks_multi_batched
 from .lesions import LesionChannelMap
 from .seg import bce_with_logits
 
@@ -101,16 +106,21 @@ def _ball_voxel_count(shape, diameter):
     return jnp.sum(ball_kernel_wrapped(shape, diameter))
 
 
-def isolate_tumor(x, diameter, volume, cfg: BallLossConfig):
-    """Locate one tumor and build its (normal, small, big) binary pseudo-masks.
+def isolate_tumor_batched(x, diameter, volume, cfg: BallLossConfig):
+    """Locate one tumor PER ITEM and build (normal, small, big) pseudo-masks.
 
-    Static-shape equivalent of ``isolate_tumor`` (``losses_foundation.py:1387-1532``).
-    `x`: (D, H, W), non-negative (sigmoid output × organ segment).
-    `diameter`, `volume`: traced scalars (already clamped by the caller).
-    Returns (mask, mask_small, mask_big), each (D, H, W) float32 in {0,1}.
+    Batched static-shape equivalent of the reference's ``isolate_tumor``
+    (``losses_foundation.py:1387-1532``): the FFT localisation runs as one
+    batched transform and all items share one Pallas selection kernel.
+    `x`: (B, D, H, W) non-negative (sigmoid output × organ segment);
+    `diameter`, `volume`: (B,) traced. The growth/fallback loops run until
+    every item converges, with converged items frozen (identical per-item
+    results to the serial form).
+    Returns (mask, mask_small, mask_big), each (B, D, H, W) float32 in {0,1}.
     """
-    shape = x.shape
-    V = x.size
+    B = x.shape[0]
+    shape = x.shape[1:]
+    V = int(math.prod(shape))
     # clamp to the static FFT-padding bound (wrap-around safety); tumors larger
     # than the crop are border-handled by the insertion-ball growth loop anyway
     diameter = jnp.minimum(jnp.asarray(diameter, jnp.float32),
@@ -121,42 +131,45 @@ def isolate_tumor(x, diameter, volume, cfg: BallLossConfig):
     # selected volume is raised to (ball voxel count - 1) whenever the
     # conv-ball holds more voxels than the reported volume, so the pseudo-mask
     # is never much smaller than the ball of the reported diameter.
-    ballcount = _ball_voxel_count(shape, diameter)
+    ballcount = jax.vmap(lambda d: _ball_voxel_count(shape, d))(diameter)
     volume = jnp.where(ballcount > volume, ballcount - 1.0, volume)
 
     # -- 1. ball convolution + argmax -> best centre --------------------------
-    conv = fft_ball_conv(
-        x,
-        diameter,
-        gaussian=cfg.gaussian,
-        gaussian_std=cfg.gaussian_std,
-        max_diameter=cfg.max_diameter,
-    )
-    flat_idx = jnp.argmax(conv)
+    conv = jax.vmap(
+        lambda xi, d: fft_ball_conv(
+            xi, d, gaussian=cfg.gaussian, gaussian_std=cfg.gaussian_std,
+            max_diameter=cfg.max_diameter,
+        )
+    )(x, diameter)
+    flat_idx = jnp.argmax(conv.reshape(B, -1), axis=-1)
     cz = flat_idx // (shape[1] * shape[2])
     cy = (flat_idx // shape[2]) % shape[1]
     cx = flat_idx % shape[2]
-    center = (cz, cy, cx)
+
+    def balls_of(d):  # (B,) diameters -> (B, D, H, W) insertion balls
+        return jax.vmap(
+            lambda c0, c1, c2, dd: insert_ball(
+                shape, (c0, c1, c2), dd * (1.0 + cfg.diameter_margin))
+        )(cz, cy, cx, d)
 
     # -- 2. insertion ball, grown while clipped by the border -----------------
-    def grown_diameter():
-        def cond(state):
-            d, it = state
-            ball = insert_ball(shape, center, d * (1.0 + cfg.diameter_margin))
-            too_small = jnp.sum(ball) < volume
-            not_huge = d < jnp.float32(max(shape))
-            return too_small & not_huge & (it < cfg.grow_iters)
+    def _needs_growth(d):
+        ball = balls_of(d)
+        too_small = jnp.sum(ball, axis=(1, 2, 3)) < volume
+        not_huge = d < jnp.float32(max(shape))
+        return too_small & not_huge
 
-        def body(state):
-            d, it = state
-            d_new = jnp.maximum(jnp.round(d * 1.1), d + 1.0)
-            return d_new, it + 1
+    def grow_cond(state):
+        d, it = state
+        return jnp.any(_needs_growth(d)) & (it < cfg.grow_iters)
 
-        d, _ = lax.while_loop(cond, body, (diameter, jnp.int32(0)))
-        return d
+    def grow_body(state):
+        d, it = state
+        d_new = jnp.maximum(jnp.round(d * 1.1), d + 1.0)
+        return jnp.where(_needs_growth(d), d_new, d), it + 1
 
-    d_ins = grown_diameter()
-    ball = insert_ball(shape, center, d_ins * (1.0 + cfg.diameter_margin))
+    d_ins, _ = lax.while_loop(grow_cond, grow_body, (diameter, jnp.int32(0)))
+    ball = balls_of(d_ins)
 
     # -- 3. top-N selection inside the ball -----------------------------------
     masked_x = x * ball
@@ -168,39 +181,53 @@ def isolate_tumor(x, diameter, volume, cfg: BallLossConfig):
     t_big = jnp.minimum(
         jnp.float32(V - 1), jnp.round(volume * (1.0 + cfg.volume_margin))
     )
-    ns = jnp.stack([t, t_small, t_big])
-    masks = topn_masks_multi(masked_x, ns, iters=cfg.topn_iters)
-    masks = masks * ball[None]
+    ns = jnp.stack([t, t_small, t_big], axis=-1)  # (B, 3)
+    masks = topn_masks_multi_batched(masked_x, ns, iters=cfg.topn_iters)
+    masks = masks * ball[:, None]  # (B, 3, D, H, W)
 
     # -- 4. dilation fallback when too few positive voxels existed ------------
     # (reference :1512-1522: for small tumors, grow the selection if the ball
     # was mostly outside the organ segment.)
+    def _needs_fallback(m):
+        small_tumor = volume < jnp.float32(50**3)
+        return small_tumor & (jnp.sum(m[:, 0], axis=(1, 2, 3)) < 0.7 * volume)
+
     def fb_cond(state):
         m, it = state
-        small_tumor = volume < jnp.float32(50**3)
-        return small_tumor & (jnp.sum(m[0]) < 0.7 * volume) & (it < 6)
+        return jnp.any(_needs_fallback(m)) & (it < 6)
 
     def fb_body(state):
         m, it = state
-        m = dilate_cf(m, 7)  # (3, D, H, W), spatial-minor
-        return m * ball[None], it + 1
+        m2 = dilate_cf(m, 7) * ball[:, None]  # (B, 3, D, H, W), spatial-minor
+        grow = _needs_fallback(m)[:, None, None, None, None]
+        return jnp.where(grow, m2, m), it + 1
 
     masks, _ = lax.while_loop(fb_cond, fb_body, (masks, jnp.int32(0)))
-    return masks[0], masks[1], masks[2]
+    return masks[:, 0], masks[:, 1], masks[:, 2]
 
 
-def _dilate3(m, k):
-    """(3, D, H, W) stack dilation, spatial-minor layout."""
-    return dilate_cf(m, k)
+def isolate_tumor(x, diameter, volume, cfg: BallLossConfig):
+    """Single-item `isolate_tumor_batched` (kept as the tested public API).
+
+    `x`: (D, H, W); `diameter`, `volume`: traced scalars.
+    Returns (mask, mask_small, mask_big), each (D, H, W) float32 in {0,1}.
+    """
+    d = jnp.asarray(diameter, jnp.float32).reshape(1)
+    v = jnp.asarray(volume, jnp.float32).reshape(1)
+    m, ms, mb = isolate_tumor_batched(x[None], d, v, cfg)
+    return m[0], ms[0], mb[0]
 
 
-def _tumor_branch(x_logits, tumor_seg, penalize, volumes, diameters, cfg, c_weight):
-    """Ball-loss for one batch item that has reported tumors.
+def _tumor_branch_batched(x_logits, tumor_seg, penalize, volumes, diameters,
+                          cfg, c_weight, item_valid):
+    """Ball-loss for every batch item at once (items without tumors run with
+    their work masked out; callers discard their results).
 
-    x_logits: (D, H, W) logits of the active lesion channel.
-    tumor_seg: (D, H, W) dilated organ sub-segment.
-    penalize:  (D, H, W) penalisable region for the active channel.
-    volumes: (T,), diameters: (T, 3).
+    x_logits: (B, D, H, W) logits of each item's active lesion channel.
+    tumor_seg: (B, D, H, W) dilated organ sub-segment.
+    penalize:  (B, D, H, W) penalisable region for the active channel.
+    volumes: (B, T), diameters: (B, T, 3), c_weight/item_valid: (B,).
+    Returns (loss_bce, loss_dice), each (B,).
     """
     # the whole pseudo-mask construction is supervision-target work: primal
     # only (matches the reference, where topk/scatter targets carry no grad)
@@ -208,36 +235,42 @@ def _tumor_branch(x_logits, tumor_seg, penalize, volumes, diameters, cfg, c_weig
         jax.nn.sigmoid(x_logits.astype(jnp.float32)) * tumor_seg
     )
 
-    # sort tumor slots by volume, descending (reference :1678-1681)
-    order = jnp.argsort(-volumes)
-    volumes = volumes[order]
-    diameters = diameters[order]
-    max_dias = jnp.max(diameters, axis=-1)
+    # sort tumor slots by volume, descending per item (reference :1678-1681)
+    order = jnp.argsort(-volumes, axis=-1)
+    volumes = jnp.take_along_axis(volumes, order, axis=-1)
+    diameters = jnp.take_along_axis(diameters, order[..., None], axis=-2)
+    max_dias = jnp.max(diameters, axis=-1)  # (B, T)
 
     # reference clamps (:1706-1710): diameter <= 1 -> 3, volume <= 1 -> 9
     max_dias = jnp.where(max_dias <= 1.0, 3.0, max_dias)
     vols = jnp.where(volumes <= 1.0, 9.0, volumes)
-    valid = volumes > 0
+    valid = (volumes > 0) & item_valid[:, None]  # (B, T)
+    # slots are volume-sorted, so slot t is live iff ANY item has >= t+1
+    # tumors: the scan executes max-tumor-count steps, not T
+    any_valid = jnp.any(valid, axis=0)  # (T,)
 
     def scan_body(carry, slot):
         x_iter = carry
-        vol, dia, ok = slot
+        vol, dia, ok, live = slot  # (B,), (B,), (B,), scalar
 
         def do(x_iter):
-            m, ms, mb = isolate_tumor(x_iter, dia, vol, cfg)
+            m, ms, mb = isolate_tumor_batched(x_iter, dia, vol, cfg)
+            okf = ok[:, None, None, None].astype(jnp.float32)
+            m, ms, mb = m * okf, ms * okf, mb * okf
             return x_iter * (1.0 - m), (m, ms, mb)
 
         def skip(x_iter):
             z = jnp.zeros_like(x_iter)
             return x_iter, (z, z, z)
 
-        return lax.cond(ok, do, skip, x_iter)
+        return lax.cond(live, do, skip, x_iter)
 
     _, (m_all, m_small_all, m_big_all) = lax.scan(
-        scan_body, x_act, (vols, max_dias, valid)
-    )
+        scan_body, x_act,
+        (vols.T, max_dias.T, valid.T, any_valid),
+    )  # each (T, B, D, H, W)
 
-    union = lambda m: (jnp.sum(m, axis=0) > 0).astype(jnp.float32)
+    union = lambda m: (jnp.sum(m, axis=0) > 0).astype(jnp.float32)  # (B,...)
     pseudo = union(m_small_all if cfg.use_small_pseudo_mask else m_all)
     big = union(m_big_all)
     if cfg.dilation_for_background > 0:
@@ -249,36 +282,46 @@ def _tumor_branch(x_logits, tumor_seg, penalize, volumes, diameters, cfg, c_weig
     big = lax.stop_gradient(big)
     penalize = lax.stop_gradient(penalize)
 
-    bce = bce_with_logits(x_logits, pseudo) * penalize
+    bce = bce_with_logits(x_logits, pseudo) * penalize  # (B, D, H, W)
+    spatial_mean = lambda a: jnp.mean(a, axis=(1, 2, 3))
 
     if cfg.standard_ce:
-        loss_bce = jnp.mean(bce * c_weight)
+        loss_bce = spatial_mean(bce) * c_weight
     else:
         if cfg.gwrp:
-            n_fg = jnp.sum(pseudo)
-            boosted = jax.nn.sigmoid(x_logits.astype(jnp.float32)) * pseudo + pseudo
-            w = gwrp_weights_binned(
-                boosted, jnp.maximum(n_fg, 1.0), cfg.gwrp_concentration,
-                levels=cfg.gwrp_levels,
+            n_fg = jnp.sum(pseudo, axis=(1, 2, 3))  # (B,)
+            boosted = (
+                jax.nn.sigmoid(x_logits.astype(jnp.float32)) * pseudo + pseudo
             )
-            w = lax.stop_gradient(w * n_fg * pseudo)
-            loss_fg = jnp.mean(bce * w)
+            w = jax.vmap(
+                lambda b_i, n_i: gwrp_weights_binned(
+                    b_i, jnp.maximum(n_i, 1.0), cfg.gwrp_concentration,
+                    levels=cfg.gwrp_levels,
+                )
+            )(boosted, n_fg)
+            w = lax.stop_gradient(w * n_fg[:, None, None, None] * pseudo)
+            loss_fg = spatial_mean(bce * w)
         else:
-            loss_fg = jnp.mean(bce * pseudo)
-        loss_bg = jnp.mean(bce * (1.0 - big))
+            loss_fg = spatial_mean(bce * pseudo)
+        loss_bg = spatial_mean(bce * (1.0 - big))
         loss_bce = (loss_fg + loss_bg) * c_weight
 
-    dice = _tversky_cf(x_logits[None], pseudo[None], penalize[None])
+    dice = jax.vmap(
+        lambda xl, ps, pn: _tversky_cf(xl[None], ps[None], pn[None])
+    )(x_logits, pseudo, penalize)
     return loss_bce, dice * c_weight
 
 
-def _no_tumor_branch(out_logits, to_penalize, cw_lesion):
+def _no_tumor_branch_batched(out_logits, to_penalize, cw_lesion):
     """BCE toward zero over the penalisable region for all lesion channels
-    (reference :1624-1661). out_logits/to_penalize: (L, D, H, W); cw: (L,)."""
-    bce = bce_with_logits(out_logits, jnp.zeros_like(out_logits)) * to_penalize
-    loss = jnp.mean(bce * cw_lesion[:, None, None, None])
-    dice = _tversky_cf(out_logits, jnp.zeros_like(out_logits), to_penalize,
-                       class_weights=cw_lesion)
+    (reference :1624-1661). out_logits/to_penalize: (B, L, D, H, W);
+    cw: (B, L). Returns ((B,), (B,))."""
+    zeros = jnp.zeros_like(out_logits)
+    bce = bce_with_logits(out_logits, zeros) * to_penalize
+    loss = jnp.mean(bce * cw_lesion[:, :, None, None, None], axis=(1, 2, 3, 4))
+    dice = jax.vmap(
+        lambda o, p, c: _tversky_cf(o, jnp.zeros_like(o), p, class_weights=c)
+    )(out_logits, to_penalize, cw_lesion)
     return loss, dice
 
 
@@ -353,26 +396,33 @@ def ball_loss(
         jnp.sum(tumor_volumes, axis=-1) > 0
     )  # (B,)
 
-    def per_item(item):
-        (out_b, seg_b, pen_b, cw_b, act, has, vols, dias) = item
+    B = out.shape[0]
+    # batched active-channel extraction (contractions, not per-item gathers)
+    onehot_act = jax.nn.one_hot(active, out.shape[1], dtype=jnp.float32)
+    x_act_ch = jnp.einsum("bldhw,bl->bdhw", out, onehot_act)
+    pen_act = jnp.einsum("bldhw,bl->bdhw", to_penalize, onehot_act)
+    tumor_seg = jnp.sum(seg, axis=1)  # only the active channel is nonzero
+    c_weight = jnp.sum(cw * onehot_act, axis=1)  # (B,)
 
-        def tumor(_):
-            onehot = jax.nn.one_hot(act, out_b.shape[0], dtype=jnp.float32)
-            x = jnp.einsum("ldhw,l->dhw", out_b, onehot)
-            pen = jnp.einsum("ldhw,l->dhw", pen_b, onehot)
-            tumor_seg = jnp.sum(seg_b, axis=0)  # only active channel nonzero
-            c_weight = jnp.sum(cw_b * onehot)
-            return _tumor_branch(x, tumor_seg, pen, vols, dias, cfg, c_weight)
-
-        def no_tumor(_):
-            return _no_tumor_branch(out_b, pen_b, cw_b)
-
-        return lax.cond(has, tumor, no_tumor, None)
-
-    losses_bce, losses_dice = lax.map(
-        per_item,
-        (out, seg, to_penalize, cw, active, has_tumor, tumor_volumes, tumor_diameters),
+    zeros_b = jnp.zeros((B,), jnp.float32)
+    # all-mask-only batches skip the whole pseudo-mask construction
+    bce_t, dice_t = lax.cond(
+        jnp.any(has_tumor),
+        lambda args: _tumor_branch_batched(
+            args[0], args[1], args[2], args[3], args[4], cfg, args[5], args[6]
+        ),
+        lambda args: (zeros_b, zeros_b),
+        (x_act_ch, tumor_seg, pen_act, tumor_volumes, tumor_diameters,
+         c_weight, has_tumor),
     )
+    bce_n, dice_n = lax.cond(
+        jnp.any(~has_tumor),
+        lambda args: _no_tumor_branch_batched(*args),
+        lambda args: (zeros_b, zeros_b),
+        (out, to_penalize, cw),
+    )
+    losses_bce = jnp.where(has_tumor, bce_t, bce_n)
+    losses_dice = jnp.where(has_tumor, dice_t, dice_n)
     out_losses = {"ball_loss_bce": jnp.mean(losses_bce)}
     if cfg.apply_dice_loss:
         out_losses["ball_loss_dice"] = jnp.mean(losses_dice)

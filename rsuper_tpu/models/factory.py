@@ -62,6 +62,7 @@ def _medformer(args, num_classes, dtype):
         classification_classes=args.get("classification_classes", 0),
         clip_branch=args.get("clip_branch", False),
         clip_feats=args.get("clip_feats", 768),
+        remat=args.get("remat", True),
         dtype=dtype,
     )
 

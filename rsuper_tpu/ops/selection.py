@@ -106,3 +106,31 @@ def topn_masks_multi(x, ns, *, iters: int = 26):
     shape = (ns.shape[0],) + (1,) * x.ndim
     ts = ts.reshape(shape)
     return ((x_ng[None] >= ts) & (x_ng[None] > 0)).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def topn_masks_multi_batched(x, ns, *, iters: int = 26):
+    """Batched `topn_masks_multi`: x (B, *spatial), ns (B, K) ->
+    masks (B, K, *spatial).
+
+    On TPU this runs the grid-over-batch Pallas kernel (one VMEM load per
+    item, all K bisections on-chip); elsewhere a double-vmapped bisection.
+    The per-item volume (not the whole batch) must fit in VMEM.
+    """
+    x_ng = jax.lax.stop_gradient(x)
+    B = x.shape[0]
+    per_item = x.size // B
+    ns = jnp.asarray(ns, jnp.float32).reshape(B, -1)
+    if _use_pallas() and per_item <= _PALLAS_MAX_ELEMS:
+        from .pallas_topn import pallas_topn_threshold_multi_batched
+
+        ts = pallas_topn_threshold_multi_batched(x_ng, ns, iters=iters)
+    else:
+        ts = jax.vmap(
+            lambda xi, ni: jax.vmap(
+                lambda n: topn_threshold(xi, n, iters=iters)
+            )(ni)
+        )(x_ng, ns)
+    ts = ts.reshape(ts.shape + (1,) * (x.ndim - 1))  # (B, K, 1...)
+    xb = x_ng[:, None]  # (B, 1, *spatial)
+    return ((xb >= ts) & (xb > 0)).astype(jnp.float32)

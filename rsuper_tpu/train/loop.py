@@ -19,10 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import TrainConfig
-from ..data.pipeline import PrefetchLoader, device_augment
+from ..data.pipeline import PrefetchLoader, build_augment_step
 from ..data.sampler import ChunkedSampler
 from ..losses import LesionChannelMap
-from ..parallel import make_mesh, shard_batch
+from ..parallel import make_mesh
+from ..parallel.multihost import global_key_slices, local_batch_to_global
 from ..train.checkpoint import CheckpointManager
 from ..train.optim import make_optimizer
 from ..train.state import create_train_state
@@ -35,7 +36,9 @@ def init_params_on_host(model, rng, example):
     """Initialise parameters with a CPU-jitted init and leave placement to the
     caller. Un-jitted flax init dispatches thousands of tiny ops — over a
     remote-TPU link that is minutes of latency; on-host jit is seconds."""
-    cpu = jax.devices("cpu")[0]
+    # local_devices: in multi-process jobs, devices("cpu")[0] can be another
+    # process's (non-addressable) device — init must land on THIS host
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         return jax.jit(model.init)(rng, example)
 
@@ -89,7 +92,17 @@ def train(
     )
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    state = jax.device_put(state, NamedSharding(mesh, P()))
+    repl = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        state = jax.device_put(state, repl)
+    else:
+        # multihost: device_put cannot target non-addressable devices; every
+        # process holds the identical host value (same seed), so assembling
+        # the replicated global array from local copies is exact
+        state = jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(repl, np.asarray(x)),
+            state,
+        )
 
     ckpt = CheckpointManager(exp_dir, save_every=cfg.save_every)
     if cfg.pretrained:
@@ -107,11 +120,24 @@ def train(
         model_genesis=cfg.model_genesis_pretrain, clip_only=cfg.clip_pretrain,
     )
 
+    # multihost: each process loads 1/process_count of every global batch
+    # (the reference's rank-sliced sampler, train_ddp.py:637-644)
+    n_proc = jax.process_count()
+    assert cfg.batch_size % max(n_proc, 1) == 0, (
+        f"global batch {cfg.batch_size} must divide over {n_proc} processes"
+    )
+    local_bs = cfg.batch_size // n_proc
+    shard = cfg.shard_index if n_proc == 1 else jax.process_index()
+    num_shards = cfg.data_shards if n_proc == 1 else n_proc
     sampler = ChunkedSampler(
         len(dataset), cfg.iter_per_epoch * cfg.batch_size,
-        shard=cfg.shard_index, num_shards=cfg.data_shards, seed=cfg.seed,
+        shard=shard, num_shards=num_shards, seed=cfg.seed,
     )
     aug_key = jax.random.PRNGKey(cfg.seed + 1)
+    augment_fn = build_augment_step(
+        mesh, crop_size=tuple(cfg.training_size), scale=tuple(cfg.scale),
+        rotate=tuple(cfg.rotate), translate=tuple(cfg.translate),
+    )
 
     from ..utils.profiling import PhaseTimer, TraceCapture
 
@@ -125,39 +151,49 @@ def train(
     total_steps = 0
     for epoch in range(start_epoch, cfg.epochs):
         loader = PrefetchLoader(
-            dataset, cfg.batch_size, sampler.epoch_indices(epoch),
+            dataset, local_bs, sampler.epoch_indices(epoch),
             num_workers=cfg.num_workers,
         )
         loss_meter = AverageMeter("loss")
         t_meter = AverageMeter("s/it")
         t0 = time.time()
+        check_every = max(1, cfg.nan_check_every)
         for batch in loader:
             if tracer is not None:
                 tracer.step(total_steps)
             aug_key, k = jax.random.split(aug_key)
+            # same aug_key on every process (same seed) -> identical global
+            # key table; each process contributes its slice
+            item_keys = global_key_slices(
+                jax.random.split(k, cfg.batch_size), mesh
+            )
             with timer.phase("h2d"):
-                batch = shard_batch(batch, mesh)
+                batch = local_batch_to_global(batch, mesh)
             with timer.phase("augment"):
-                batch = device_augment(
-                    batch, k, crop_size=tuple(cfg.training_size),
-                    scale=tuple(cfg.scale), rotate=tuple(cfg.rotate),
-                    translate=tuple(cfg.translate),
-                )
-                # lax.map inside device_augment replicates its outputs;
-                # restore the data-axis sharding the train step expects
-                batch = shard_batch(batch, mesh)
+                batch = augment_fn(batch, item_keys)
             with timer.phase("step"):
                 state, losses = step_fn(state, batch)
+            total_steps += 1
+            # fetch the loss only every `check_every` steps: a per-step
+            # float() round-trips to the device and serialises the async
+            # dispatch pipeline (2x step time over a relayed link)
+            if (
+                total_steps % check_every == 0
+                or total_steps == 1
+                or total_steps % 50 == 0
+                or total_steps == max_steps
+            ):
                 loss = float(losses["overall"])
-            if not np.isfinite(loss):
-                raise FloatingPointError(
-                    f"loss is NaN/Inf at step {int(state.step)} — aborting before "
-                    "it poisons the weights (reference losses_foundation.py:1070)"
-                )
-            loss_meter.update(loss)
+                if not np.isfinite(loss):
+                    raise FloatingPointError(
+                        f"loss is NaN/Inf at step {int(state.step)} — aborting "
+                        "before it poisons further weights (reference "
+                        "losses_foundation.py:1070; detection lags up to "
+                        f"{check_every - 1} steps by design)"
+                    )
+                loss_meter.update(loss)
             t_meter.update(time.time() - t0)
             t0 = time.time()
-            total_steps += 1
             if total_steps % 50 == 0 or total_steps == 1:
                 logger.info(
                     "epoch %d step %d %s %s", epoch, int(state.step),
@@ -170,6 +206,11 @@ def train(
                 ckpt.save_epoch(state, epoch)
                 return state
 
+        if loss_meter.count == 0 and total_steps > 0:
+            # no fetch landed inside this epoch (short epochs + sparse NaN
+            # checks): fetch once at the boundary so the summary is real
+            loss_meter.update(float(losses["overall"]))
+
         val_metric = None
         if test_cases is not None and cfg.val_freq and (epoch + 1) % cfg.val_freq == 0:
             from .validation import validate_cases
@@ -178,9 +219,16 @@ def train(
                 out = model.apply(params, x)["segmentation"]
                 return out[0] if isinstance(out, (list, tuple)) else out
 
+            val_params = state.ema_params if cfg.ema else state.params
+            if jax.process_count() > 1:
+                # run validation per-host on a local copy (mixing the global
+                # replicated params with host-local windows in one jit is
+                # illegal); every process computes the identical metric, so
+                # the collective best-checkpoint save below stays consistent
+                val_params = jax.device_get(val_params)
             results = validate_cases(
                 apply_fn,
-                state.ema_params if cfg.ema else state.params,
+                val_params,
                 test_cases, len(cfg.classes), window=cfg.training_size,
             )
             val_metric = float(np.mean(results["dice"]))

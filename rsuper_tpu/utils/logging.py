@@ -16,12 +16,26 @@ import time
 from typing import Any, Dict
 
 
+def _rank_suffix() -> str:
+    """'' single-process; '.rankN' when jax runs multi-process (keeps the
+    per-rank log/metric files of a shared exp dir from interleaving)."""
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            return f".rank{jax.process_index()}"
+    except Exception:
+        pass
+    return ""
+
+
 def setup_logger(exp_dir: str, name: str = "rsuper") -> logging.Logger:
     os.makedirs(exp_dir, exist_ok=True)
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
     if not logger.handlers:
-        fh = logging.FileHandler(os.path.join(exp_dir, "train.log"))
+        fh = logging.FileHandler(
+            os.path.join(exp_dir, f"train{_rank_suffix()}.log"))
         sh = logging.StreamHandler()
         fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
         fh.setFormatter(fmt)
@@ -43,7 +57,7 @@ def dump_config(exp_dir: str, cfg) -> None:
 class MetricsLogger:
     def __init__(self, exp_dir: str):
         os.makedirs(exp_dir, exist_ok=True)
-        self.path = os.path.join(exp_dir, "metrics.jsonl")
+        self.path = os.path.join(exp_dir, f"metrics{_rank_suffix()}.jsonl")
 
     def log(self, step: int, values: Dict[str, Any], prefix: str = ""):
         rec = {"step": int(step), "time": time.time()}

@@ -236,6 +236,46 @@ def test_pallas_topn_multi_matches():
         assert abs(m.sum() - n) <= max(2, 0.01 * n)
 
 
+def test_pallas_topn_batched_matches():
+    from rsuper_tpu.ops.pallas_topn import pallas_topn_threshold_multi_batched
+    from rsuper_tpu.ops.selection import topn_masks_multi_batched, topn_threshold
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.random((3, 16, 20, 24)).astype(np.float32))
+    ns = jnp.asarray([[5.0, 200.0], [50.0, 1000.0], [1.0, 7000.0]])
+    ts = np.asarray(pallas_topn_threshold_multi_batched(x, ns, interpret=True))
+    assert ts.shape == (3, 2)
+    for b in range(3):
+        for k in range(2):
+            ref = float(topn_threshold(x[b], float(ns[b, k])))
+            assert ts[b, k] == pytest.approx(ref, abs=1e-7)
+    masks = np.asarray(topn_masks_multi_batched(x, ns))
+    assert masks.shape == (3, 2, 16, 20, 24)
+    for b in range(3):
+        for k, n in enumerate(np.asarray(ns)[b]):
+            assert abs(masks[b, k].sum() - n) <= max(2, 0.01 * n)
+
+
+def test_isolate_tumor_batched_matches_single():
+    from rsuper_tpu.losses.ball import (
+        BallLossConfig, isolate_tumor, isolate_tumor_batched,
+    )
+
+    cfg = BallLossConfig(max_diameter=24, topn_iters=30)
+    rng = np.random.default_rng(14)
+    x = np.zeros((2, 24, 24, 24), np.float32)
+    x[0, 6:14, 6:14, 6:14] = rng.random((8, 8, 8)) * 0.5 + 0.5
+    x[1, 2:20, 2:20, 2:20] = rng.random((18, 18, 18)) * 0.3
+    dia = jnp.asarray([8.0, 12.0])
+    vol = jnp.asarray([250.0, 700.0])
+    mb, msb, mbb = isolate_tumor_batched(jnp.asarray(x), dia, vol, cfg)
+    for b in range(2):
+        m1, ms1, mb1 = isolate_tumor(jnp.asarray(x[b]), dia[b], vol[b], cfg)
+        np.testing.assert_array_equal(np.asarray(mb)[b], np.asarray(m1))
+        np.testing.assert_array_equal(np.asarray(msb)[b], np.asarray(ms1))
+        np.testing.assert_array_equal(np.asarray(mbb)[b], np.asarray(mb1))
+
+
 def test_dilate_cf_maxpool_variant():
     from rsuper_tpu.ops.morphology import dilate_cf
 

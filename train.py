@@ -50,6 +50,14 @@ def parse_args(argv=None):
     p.add_argument("--k_fold", type=int, default=0,
                    help="k-fold cross-validation (0 = simple split)")
     p.add_argument("--fold", type=int, default=0, help="fold index to run")
+    # multi-host SPMD (reference --dist_url/--world_size/--rank,
+    # train_ddp.py:423-426): one process per host, one global mesh
+    p.add_argument("--dist_coordinator", default=None,
+                   help="host:port of process 0 (enables multi-host mode)")
+    p.add_argument("--dist_num_processes", type=int, default=None)
+    p.add_argument("--dist_process_id", type=int, default=None)
+    p.add_argument("--local_device_ids", default=None,
+                   help="comma-separated device ids this process owns")
     return p.parse_args(argv)
 
 
@@ -73,6 +81,15 @@ def load_classes(root):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.dist_coordinator:
+        # must run before anything touches the jax backend
+        from rsuper_tpu.parallel.multihost import init_distributed
+
+        pid, nproc = init_distributed(
+            args.dist_coordinator, args.dist_num_processes,
+            args.dist_process_id, args.local_device_ids,
+        )
+        print(f"[dist] process {pid}/{nproc} connected", flush=True)
     from rsuper_tpu.config import load_config
 
     overrides = {
@@ -80,7 +97,9 @@ def main(argv=None):
         for k, v in vars(args).items()
         if k not in ("preset", "config", "all_train", "max_steps",
                      "class_weights_csv", "report_only", "mask_only",
-                     "profile_steps", "k_fold", "fold")
+                     "profile_steps", "k_fold", "fold", "dist_coordinator",
+                     "dist_num_processes", "dist_process_id",
+                     "local_device_ids")
         and v is not None
     }
     if args.resume:
