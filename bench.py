@@ -82,7 +82,14 @@ def main():
         "volumes": vols,
         "diameters": dias,
     }
-    batch = {k: jax.device_put(jnp.asarray(v), dev) for k, v in batch.items()}
+    # training dtype in = what the real loop feeds after device_augment:
+    # bf16 image (the model casts anyway) and bf16 binary masks (exact)
+    bf16_keys = ("image", "label", "unk", "segment_mask")
+    batch = {
+        k: jax.device_put(
+            jnp.asarray(v, jnp.bfloat16 if k in bf16_keys else None), dev)
+        for k, v in batch.items()
+    }
 
     params = init_params_on_host(
         model, jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, SIZE, 1))

@@ -61,6 +61,7 @@ def _augment_items(
     rotate,
     translate,
     intensity_prob: float,
+    out_dtype=jnp.float32,
 ):
     """Per-item augmentation over the leading (local) batch axis.
 
@@ -101,6 +102,11 @@ def _augment_items(
         masks = center_crop(masks, crop_size)
         img3 = intensity_augment(img3, k_int, p=intensity_prob)
         C = lab.shape[-1]
+        # binary masks are exact in bf16; the image feeds a bf16 model anyway
+        # — emitting the training dtype halves the step's input footprint
+        # (closes the 290 MB HBM gap at 128³ with remat off; docs/perf.md)
+        img3 = img3.astype(out_dtype)
+        masks = masks.astype(out_dtype)
         return (img3[..., None], masks[..., :C], masks[..., C : 2 * C],
                 masks[..., 2 * C :])
 
@@ -122,7 +128,7 @@ def _augment_items(
 
 
 @partial(jax.jit, static_argnames=("crop_size", "affine_prob", "scale", "rotate",
-                                   "translate", "intensity_prob"))
+                                   "translate", "intensity_prob", "out_dtype"))
 def device_augment(
     batch: Dict[str, jnp.ndarray],
     key,
@@ -132,13 +138,14 @@ def device_augment(
     rotate=(30.0, 30.0, 30.0),
     translate=(0.0, 0.0, 0.0),
     intensity_prob: float = 0.3,
+    out_dtype=jnp.float32,
 ):
     """Single-device batched augmentation (see `_augment_items`). For a
     multi-device mesh use `build_augment_step`, which keeps the data-axis
     sharding instead of replicating through ``lax.map``."""
     keys = jax.random.split(key, batch["image"].shape[0])
     return _augment_items(batch, keys, crop_size, affine_prob, scale, rotate,
-                          translate, intensity_prob)
+                          translate, intensity_prob, out_dtype)
 
 
 def build_augment_step(
@@ -149,6 +156,7 @@ def build_augment_step(
     rotate=(30.0, 30.0, 30.0),
     translate=(0.0, 0.0, 0.0),
     intensity_prob: float = 0.3,
+    out_dtype=jnp.float32,
 ):
     """Returns ``augment(batch, keys) -> batch`` jitted over `mesh` with every
     array sharded on the data axis in AND out — the train loop does one
@@ -168,7 +176,7 @@ def build_augment_step(
 
     def local_augment(batch, keys):
         return _augment_items(batch, keys, crop_size, affine_prob, scale,
-                              rotate, translate, intensity_prob)
+                              rotate, translate, intensity_prob, out_dtype)
 
     sharded = shard_map(
         local_augment,

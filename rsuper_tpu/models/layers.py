@@ -15,6 +15,7 @@ Attention :45, TransformerBlock :102), re-designed for XLA:TPU:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -31,17 +32,50 @@ def _kernel3(kernel_size: KernelArg) -> Tuple[int, int, int]:
     return tuple(kernel_size)  # type: ignore[return-value]
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def instance_norm(x, eps: float = 1e-4):
     """Per-sample, per-channel normalisation over spatial dims (no affine).
 
     torch ``InstanceNorm3d(C, eps=1e-4, affine=False)`` semantics. Statistics
     in float32 regardless of compute dtype.
+
+    Hand-written VJP: at 96³ volumes these norms are pure HBM bandwidth, and
+    autodiff of the mean/var graph emits ~6 reduction+elementwise sweeps;
+    the closed-form gradient ``dx = inv·(dy - E[dy] - y·E[dy·y])`` needs one
+    fused reduction pass + one elementwise pass (measured 41 ms/step of norm
+    time on v5e before, see docs/perf.md round 2).
     """
+    return _instance_norm_fwd(x, eps)[0]
+
+
+def _instance_norm_fwd(x, eps: float):
     spatial = tuple(range(1, x.ndim - 1))
+    n = 1
+    for d in spatial:
+        n *= x.shape[d]
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=spatial, keepdims=True)
-    var = jnp.var(x32, axis=spatial, keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    # one pass: Σx and Σx² fuse into a single sweep
+    s1 = jnp.sum(x32, axis=spatial, keepdims=True)
+    s2 = jnp.sum(x32 * x32, axis=spatial, keepdims=True)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    y = ((x32 - mean) * inv).astype(x.dtype)
+    return y, (y, inv)
+
+
+def _instance_norm_bwd(eps: float, res, dy):
+    y, inv = res
+    spatial = tuple(range(1, dy.ndim - 1))
+    dy32 = dy.astype(jnp.float32)
+    y32 = y.astype(jnp.float32)
+    m1 = jnp.mean(dy32, axis=spatial, keepdims=True)
+    m2 = jnp.mean(dy32 * y32, axis=spatial, keepdims=True)
+    dx = (inv * (dy32 - m1 - y32 * m2)).astype(dy.dtype)
+    return (dx,)
+
+
+instance_norm.defvjp(_instance_norm_fwd, _instance_norm_bwd)
 
 
 class ChannelLayerNorm(nn.Module):

@@ -137,6 +137,7 @@ def train(
     augment_fn = build_augment_step(
         mesh, crop_size=tuple(cfg.training_size), scale=tuple(cfg.scale),
         rotate=tuple(cfg.rotate), translate=tuple(cfg.translate),
+        out_dtype=dtype,
     )
 
     from ..utils.profiling import PhaseTimer, TraceCapture

@@ -239,3 +239,76 @@ def test_dataset_prep(tmp_path):
     assert spec["numTraining"] == 2
     n = link_cases(str(img_dir), str(tmp_path / "nnunet"))
     assert n == 2
+
+
+def test_liver_lobe_and_dome_segment_groups():
+    """Reference create_metadata.py:925-944 lobe/dome mappings — phrases that
+    round 1 dropped to 'u' (losing ball/volume-loss sub-segment targeting)."""
+    from rsuper_tpu.report_extraction.metadata import map_liver_location
+
+    assert map_liver_location("right hepatic lobe") == \
+        "segment 5 / segment 6 / segment 7 / segment 8"
+    assert map_liver_location("Right Lobe") == \
+        "segment 5 / segment 6 / segment 7 / segment 8"
+    assert map_liver_location("left lateral segment") == \
+        "segment 2 / segment 3 / segment 4"
+    assert map_liver_location("left hepatic lobe") == \
+        "segment 2 / segment 3 / segment 4"
+    assert map_liver_location("hepatic dome") == "segment 7 / segment 8"
+    assert map_liver_location("caudate lobe") == "segment 1"
+    assert map_liver_location("segment ii") == "segment 2"
+    assert map_liver_location("segment 4a") == "segment 4"
+    assert map_liver_location("segment v and segment vi") == \
+        "segment 5 / segment 6"
+    assert map_liver_location("adjacent to the gallbladder fossa") == "segment 5"
+    assert map_liver_location("porta hepatis") == "segment 1"
+    assert map_liver_location("nowhere particular") == "u"
+
+
+def test_pancreas_junction_phrases():
+    from rsuper_tpu.report_extraction.metadata import map_pancreas_location
+
+    assert map_pancreas_location("uncinate process") == "head"
+    assert map_pancreas_location("pancreatic neck") == "head"
+    assert map_pancreas_location("junction of head and body") == "head / body"
+    assert map_pancreas_location("body and tail") == "body / tail"
+    assert map_pancreas_location("distal body and tail") == "body / tail"
+    assert map_pancreas_location("entire pancreas") == "body / head / tail"
+    assert map_pancreas_location("proximal body") == "body"
+    assert map_pancreas_location("gibberish") == "u"
+
+
+def test_classify_two_reference_vocabulary():
+    from rsuper_tpu.report_extraction.metadata import classify_two
+
+    assert classify_two("liver", "metastasis") == ("yes", "yes")
+    assert classify_two("liver", "hemangioma") == ("no", "no")
+    assert classify_two("liver", "hepatocellular carcinoma") == ("no", "yes")
+    assert classify_two("kidney", "angiomyolipoma") == ("no", "no")
+    assert classify_two("kidney", "renal cell carcinoma") == ("no", "yes")
+    assert classify_two("pancreas", "adenocarcinoma") == ("no", "yes")
+    assert classify_two("uterus", "fibroid") == ("no", "no")
+    assert classify_two("prostate", "benign prostatic hyperplasia") == ("no", "no")
+    assert classify_two("spleen", "lymphoma") == ("no", "yes")
+    assert classify_two("liver", "u") == ("u", "u")
+    # global fallback: organ outside the tables
+    assert classify_two("mesentery", "sarcoma") == ("no", "yes")
+    assert classify_two("mesentery", "lipoma") == ("no", "no")
+
+
+def test_classify_lesion_cyst_benign_split():
+    assert classify_lesion("IPMN") == "cyst"
+    assert classify_lesion("pseudocyst") == "cyst"
+    assert classify_lesion("hemangioma", "liver") == "benign"
+    assert classify_lesion("adenocarcinoma", "pancreas") == "lesion"
+    assert classify_lesion("mass", "pancreas") == "lesion"
+
+
+def test_organ_synonym_breadth():
+    assert standardize_organ("gallbladder fossa") == "gallbladder"
+    assert standardize_organ("right adrenal gland") == "adrenal_gland"
+    assert standardize_organ("urinary bladder") == "bladder"
+    assert standardize_organ("lumbar spine") == "bone"
+    assert standardize_organ("common bile duct") == "bile_duct"
+    assert standardize_organ("uncinate process") == "pancreas"
+    assert standardize_organ("u") is None
