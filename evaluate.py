@@ -12,20 +12,28 @@ import os
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pred_dir", required=True,
-                   help="predict.py output dir (with *_lesion_prob.nii.gz)")
+                   help="predict.py output dir (with *_lesion_prob.nii.gz), or "
+                        "an nnU-Net prediction folder with --nnunet")
     p.add_argument("--ground_truth", required=True, help="per-CT metadata CSV")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--organs", nargs="+", default=["liver", "pancreatic", "kidney"])
     p.add_argument("--parts", type=int, default=1)
     p.add_argument("--part", type=int, default=0)
+    p.add_argument("--nnunet", action="store_true",
+                   help="pred_dir holds flat nnU-Net BDMAP_*.npz probability "
+                        "stacks (reference eval_AUC_nnunet.py layout)")
     args = p.parse_args(argv)
 
-    from rsuper_tpu.eval.detection import detection_table
+    from rsuper_tpu.eval.detection import detection_table, detection_table_nnunet
     from rsuper_tpu.eval.sens_spec import best_f1, evaluate_detection, load_ground_truth
 
     os.makedirs(args.out_dir, exist_ok=True)
-    tables = detection_table(args.pred_dir, organs=tuple(args.organs),
-                             parts=args.parts, part=args.part)
+    if args.nnunet:
+        tables = detection_table_nnunet(args.pred_dir,
+                                        parts=args.parts, part=args.part)
+    else:
+        tables = detection_table(args.pred_dir, organs=tuple(args.organs),
+                                 parts=args.parts, part=args.part)
     for th, df in tables.items():
         df.to_csv(os.path.join(args.out_dir,
                                f"tumor_detection_results_th{th}.csv"), index=False)

@@ -71,6 +71,12 @@ class TrainConfig:
     # baselines
     model_genesis_pretrain: bool = False
     clip_pretrain: bool = False
+    # directory of per-case report-embedding .npy files (reference
+    # --clip_source, train_ddp.py:450-451); required when clip_pretrain
+    clip_source: str = ""
+    # 2d = slice training over models/dim2.py (reference --dimension 2d);
+    # inferred from training_size when left as "auto"
+    dimension: str = "auto"
     # runtime
     seed: int = 0
     data_shards: int = 1
@@ -144,6 +150,23 @@ DEFAULT_CONFIGS: Dict[str, Dict[str, Any]] = {
         weight_decay=0.05,
         scale=(0.3, 0.3, 0.3),
         rotate=(30.0, 30.0, 30.0),
+        ema=True,
+        val_freq=50,
+    ),
+    # 2D slice-training pathway (the reference's --dimension 2d model zoo,
+    # model/dim2 — it ships no 2D dataset/config; see data/dataset2d.py)
+    "slices/resunet_2d": dict(
+        arch="resunet_2d",
+        model_args=dict(base_chan=32),
+        training_size=(256, 256),
+        dimension="2d",
+        epochs=300,
+        iter_per_epoch=500,
+        optimizer="adamw",
+        base_lr=6e-4,
+        weight_decay=0.05,
+        loss="dice",
+        report_volume_loss_basic=0.0,
         ema=True,
         val_freq=50,
     ),

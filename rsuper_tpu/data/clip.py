@@ -73,6 +73,13 @@ class ClipRecordAdapter:
     def __len__(self):
         return len(self.dataset)
 
+    @property
+    def cases(self):
+        return self.dataset.cases
+
+    def crop_organs(self):
+        return self.dataset.crop_organs()
+
     def sample(self, index: int, rng=None):
         rec = self.dataset.sample(index, rng)
         case = self.dataset.cases[index % len(self.dataset.cases)]

@@ -339,6 +339,35 @@ class RSuperDataset:
         }
 
     # ---------------------------------------------------------------- public
+    def crop_organs(self) -> List[str]:
+        """Per-case organ tag for organ-homogeneous batching (CLIP
+        pretraining; reference ``sampler_clip.py`` reads the crop organ from
+        saved-crop sidecars — here crops are sampled online, so the tag is
+        the case's dominant reported organ, `'healthy'` for tumor-free
+        report cases, and `'mask'` for CT-Mask cases)."""
+        out: List[str] = []
+        for case in self.cases:
+            if not case.is_report:
+                out.append("mask")
+                continue
+            rows = self._case_rows(case.case_id)
+            if rows is None:
+                out.append("healthy")
+                continue
+            organs = [
+                str(o).strip().lower()
+                for o in rows["Standardized Organ"].tolist()
+                if isinstance(o, str) and str(o).strip()
+            ]
+            if not organs:
+                out.append("healthy")
+            else:
+                counts: Dict[str, int] = {}
+                for o in organs:
+                    counts[o] = counts.get(o, 0) + 1
+                out.append(max(sorted(counts), key=counts.get))
+        return out
+
     def sample(self, index: int, rng=None) -> Dict[str, np.ndarray]:
         rng = rng or np.random.default_rng()
         case = self.cases[index % len(self.cases)]

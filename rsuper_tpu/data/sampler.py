@@ -62,14 +62,26 @@ class ChunkedSampler:
 
 class OrganBatchSampler:
     """Batches whose members all cropped on the same organ; organ choice is
-    deterministic per step so every shard picks the same organ."""
+    deterministic per step so every shard picks the same organ.
+
+    Mirrors the reference's CLIP-pretraining sampler
+    (``sampler_clip.py:110``): InfoNCE negatives within a batch must not be
+    trivially separable by organ, so every item in a (global) batch shares
+    one crop organ, and data-parallel shards agree on the organ per step.
+    """
 
     def __init__(
         self,
         crop_organs: Sequence[str],
         batch_size: int,
         seed: int = 0,
+        shard: int = 0,
+        num_shards: int = 1,
     ):
+        assert 0 <= shard < num_shards
+        assert batch_size % num_shards == 0, (
+            f"global batch {batch_size} must divide over {num_shards} shards"
+        )
         self.organ_to_indices: Dict[str, np.ndarray] = {}
         organs = np.asarray(list(crop_organs))
         for organ in sorted(set(crop_organs)):
@@ -77,9 +89,21 @@ class OrganBatchSampler:
         self.organs = sorted(self.organ_to_indices)
         self.batch_size = batch_size
         self.seed = seed
+        self.shard = shard
+        self.num_shards = num_shards
 
     def batch(self, step: int) -> np.ndarray:
+        """The full (global) batch for `step` — identical on every shard."""
         rng = np.random.default_rng(self.seed + step)
         organ = self.organs[int(rng.integers(len(self.organs)))]
         pool = self.organ_to_indices[organ]
         return rng.choice(pool, size=self.batch_size, replace=len(pool) < self.batch_size)
+
+    def epoch_indices(self, epoch: int, steps_per_epoch: int) -> np.ndarray:
+        """This shard's slice of `steps_per_epoch` consecutive global batches
+        (drop-in for ``ChunkedSampler.epoch_indices`` in the train loop)."""
+        out = []
+        for s in range(steps_per_epoch):
+            b = self.batch(epoch * steps_per_epoch + s)
+            out.extend(b[self.shard :: self.num_shards].tolist())
+        return np.asarray(out)

@@ -92,6 +92,47 @@ def detection_table_from_masks(
     return pd.DataFrame(rows)
 
 
+# nnU-Net probability-stack channel indices (reference eval_AUC_nnunet.py:16)
+NNUNET_TUMOUR_CH = {"liver": 8, "pancreatic": 7, "kidney": 2}
+
+
+def detection_table_nnunet(
+    outputs_folder: str,
+    thresholds: Sequence[float] = THRESHOLDS,
+    channel_map: Dict[str, int] = None,
+    parts: int = 1,
+    part: int = 0,
+    case_ids: Sequence[str] = None,
+) -> Dict[float, pd.DataFrame]:
+    """Detection volumes from nnU-Net prediction folders: flat
+    ``BDMAP_*.npz`` files whose ``probabilities`` array is a (C, D, H, W)
+    stack with fixed tumor channels. Unlike `detection_table`, volumes are
+    plain ``(prob >= th).sum()`` — no denoising or resampling (matches
+    ``rsuper_train/eval_AUC_nnunet.py:31-50``)."""
+    channel_map = channel_map or NNUNET_TUMOUR_CH
+    files = sorted(
+        f for f in os.listdir(outputs_folder)
+        if f.endswith(".npz")
+    )[part::parts]
+    if case_ids is not None:
+        keep = set(case_ids)
+        files = [f for f in files if os.path.splitext(f)[0] in keep]
+    rows: Dict[float, List[dict]] = {th: [] for th in thresholds}
+    for fname in files:
+        case = os.path.splitext(fname)[0]
+        probs = np.load(os.path.join(outputs_folder, fname))["probabilities"]
+        rec: Dict[float, dict] = {th: {"BDMAP_ID": case} for th in thresholds}
+        for organ, ch in channel_map.items():
+            prob = probs[ch]
+            max_p = float(prob.max()) if prob.size else 0.0
+            for th in thresholds:
+                rec[th][f"{organ} tumor volume predicted"] = int((prob >= th).sum())
+                rec[th][f"{organ} tumor maximum probability"] = max_p
+        for th in thresholds:
+            rows[th].append(rec[th])
+    return {th: pd.DataFrame(r) for th, r in rows.items()}
+
+
 def detection_table(
     outputs_dir: str,
     thresholds: Sequence[float] = THRESHOLDS,

@@ -24,7 +24,7 @@ from scipy import ndimage as ndi
 
 from ..data.nifti import as_canonical, read_nifti, write_nifti
 from ..data.preprocess import clip_and_normalize, pad_to_min_size, resample_to_spacing
-from .sliding_window import sliding_window_inference
+from .sliding_window import sliding_window_inference, sliding_window_probs_device
 
 Z_CHUNK = 800  # reference: z-chunking for >800-slice scans
 
@@ -93,6 +93,143 @@ def postprocess_prediction(
         if connected_components:
             lesion = keep_largest_component(lesion)
         masks[cls] = lesion
+    return masks
+
+
+def _lesion_routing(classes: Sequence[str]) -> Dict[int, Optional[tuple]]:
+    """Static channel-index form of `organ_mask_for_lesion`: lesion channel →
+    tuple of organ channel indices whose union gates it; None = no gating;
+    () = gate by all-ones (bone/breast, effectively ungated)."""
+    idx = {c: i for i, c in enumerate(classes)}
+    routing: Dict[int, Optional[tuple]] = {}
+    pairs = {
+        "kidney": ("kidney_right", "kidney_left"),
+        "adrenal": ("adrenal_gland_right", "adrenal_gland_left"),
+        "lung": ("lung_right", "lung_left"),
+    }
+    for i, cls in enumerate(classes):
+        if "lesion" not in cls:
+            continue
+        organ = cls.split("_")[0].replace("pancreatic", "pancreas")
+        if organ in pairs:
+            a, b = pairs[organ]
+            routing[i] = (idx[a], idx[b]) if a in idx and b in idx else None
+        elif organ == "uterus":
+            routing[i] = (idx["prostate"],) if "prostate" in idx else None
+        elif organ == "gallbladder":
+            routing[i] = (idx["gall_bladder"],) if "gall_bladder" in idx else None
+        elif organ in ("bone", "breast"):
+            routing[i] = ()
+        else:
+            routing[i] = (idx[organ],) if organ in idx else None
+    return routing
+
+
+def device_postprocess_packed(
+    probs,
+    classes: Sequence[str],
+    threshold: float = 0.5,
+    organ_dilation: int = 3,
+):
+    """Threshold + organ-gate ON DEVICE and bit-pack the per-class masks into
+    uint8 words: (D, H, W, C) float probs → (D, H, W, ceil(C/8)) uint8.
+
+    The reference transfers a float probability volume per window
+    (``predict_abdomenatlas.py`` postprocess on host); packing after gating
+    cuts the device→host transfer 32× vs f32 (16× vs the fp16 path) — the
+    dominant predict cost over slow links (docs/perf.md).
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from ..ops.morphology import dilate_cube_cf
+
+    classes = tuple(classes)
+
+    @partial(jax.jit, static_argnames=("thr", "dil"))
+    def _pack(probs, thr: float, dil: int):
+        binm = probs > thr  # (D,H,W,C) bool
+        routing = _lesion_routing(classes)
+        gated = []
+        for i in range(len(classes)):
+            m = binm[..., i]
+            organs = routing.get(i, None)
+            if i in routing and organs:  # gate by dilated organ union
+                u = jnp.zeros(probs.shape[:3], jnp.float32)
+                for oi in organs:
+                    u = jnp.maximum(u, binm[..., oi].astype(jnp.float32))
+                # iterations of a 3³ cube = one (2·dil+1)³ cube max-window
+                u = dilate_cube_cf(u, 2 * dil + 1)
+                m = m & (u > 0)
+            gated.append(m)
+        out = jnp.stack(gated, axis=-1)
+        words = []
+        for s in range(0, len(classes), 8):
+            chunk = out[..., s : s + 8].astype(jnp.uint32)
+            pows = 2 ** jnp.arange(chunk.shape[-1], dtype=jnp.uint32)
+            words.append(jnp.sum(chunk * pows, axis=-1, dtype=jnp.uint32))
+        return jnp.stack(words, axis=-1).astype(jnp.uint8)
+
+    return _pack(probs, float(threshold), int(organ_dilation))
+
+
+def unpack_masks(packed: np.ndarray, classes: Sequence[str]) -> Dict[str, np.ndarray]:
+    """(D, H, W, ceil(C/8)) uint8 words → {class: (D, H, W) uint8 mask}."""
+    masks = {}
+    for i, cls in enumerate(classes):
+        w, b = divmod(i, 8)
+        masks[cls] = ((packed[..., w] >> b) & 1).astype(np.uint8)
+    return masks
+
+
+def predict_masks_volume(
+    apply_fns: Sequence[Callable],
+    params_list: Sequence,
+    volume: np.ndarray,
+    classes: Sequence[str],
+    window=(128, 128, 128),
+    batch: int = 4,
+    organ_mask: Optional[np.ndarray] = None,
+    threshold: float = 0.5,
+    organ_dilation: int = 3,
+    connected_components: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Ensemble → threshold → organ-gate → bit-pack, all on device; transfers
+    only packed uint8 masks. Host does unpacking + optional largest-CC."""
+    def run(vol) -> np.ndarray:
+        acc = None
+        for fn, params in zip(apply_fns, params_list):
+            p = sliding_window_probs_device(
+                fn, params, vol, len(classes), window=window, batch=batch,
+                organ_mask=organ_mask,
+            )
+            acc = p if acc is None else acc + p
+        packed = device_postprocess_packed(
+            acc / len(apply_fns), classes, threshold, organ_dilation
+        )
+        return np.asarray(packed)
+
+    D = volume.shape[0]
+    if D <= Z_CHUNK:
+        packed = run(volume)
+    else:
+        halo = window[0]
+        packed = None
+        z = 0
+        while z < D:
+            z1 = min(z + Z_CHUNK, D)
+            lo, hi = max(0, z - halo), min(D, z1 + halo)
+            chunk = run(volume[lo:hi])
+            if packed is None:
+                packed = np.zeros(volume.shape + (chunk.shape[-1],), np.uint8)
+            packed[z:z1] = chunk[z - lo : z - lo + (z1 - z)]
+            z = z1
+    masks = unpack_masks(packed, classes)
+    if connected_components:
+        for cls in classes:
+            if "lesion" in cls:
+                masks[cls] = keep_largest_component(masks[cls])
     return masks
 
 
@@ -202,13 +339,22 @@ def predict_folder(
         try:
             vol, meta = preprocess_volume(os.path.join(input_dir, fname),
                                           min_size=window)
-            probs = predict_volume(apply_fns, params_list, vol, len(classes),
-                                   window=window, batch=batch)
-            masks = postprocess_prediction(
-                probs, classes, threshold=threshold,
-                organ_mask_on_lesion=organ_mask_on_lesion,
-                connected_components=connected_components,
-            )
+            if not save_probabilities and organ_mask_on_lesion:
+                # fast path: threshold/gate/bit-pack on device — transfers
+                # packed uint8 masks instead of a float probability volume
+                masks = predict_masks_volume(
+                    apply_fns, params_list, vol, classes, window=window,
+                    batch=batch, threshold=threshold,
+                    connected_components=connected_components,
+                )
+            else:
+                probs = predict_volume(apply_fns, params_list, vol,
+                                       len(classes), window=window, batch=batch)
+                masks = postprocess_prediction(
+                    probs, classes, threshold=threshold,
+                    organ_mask_on_lesion=organ_mask_on_lesion,
+                    connected_components=connected_components,
+                )
             os.makedirs(case_dir, exist_ok=True)
             for cls, m in masks.items():
                 write_nifti(

@@ -106,7 +106,7 @@ def _run_windows(apply_fn, params, volume, starts, valid, window, batch,
     return acc, cnt
 
 
-def sliding_window_inference(
+def sliding_window_probs_device(
     apply_fn: Callable,
     params,
     volume: np.ndarray,
@@ -116,19 +116,11 @@ def sliding_window_inference(
     batch: int = 4,
     organ_mask: Optional[np.ndarray] = None,
     blend: str = "uniform",
-    out_dtype=np.float16,
-) -> np.ndarray:
-    """Blended sigmoid probabilities (D, H, W, C) for one volume.
-
-    `apply_fn(params, windows)` maps (K, *window, 1) → (K, *window, C) logits.
-    `volume`: (D, H, W) float32. `organ_mask`: optional (D, H, W) binary —
-    windows with zero overlap are skipped (their region stays probability 0),
-    the reference's pancreas-mask window gating. `blend`: 'uniform' (the
-    reference's hit-count average, inference3d.py:63-103) or 'gaussian'
-    (nnU-Net-style centre-weighted importance). `out_dtype`: dtype of the
-    device→host transfer — float16 halves the (D,H,W,C) probability volume's
-    transfer cost at negligible precision loss for [0,1] probabilities.
-    """
+):
+    """Blended sigmoid probabilities for one volume, LEFT ON DEVICE as a
+    (D, H, W, C) float32 jax array (cropped to the input shape). Lets callers
+    ensemble-sum / threshold / bit-pack on device before any host transfer
+    (the big inference win over slow links — see `predict.py`)."""
     window = tuple(window)
     stride = tuple(max(1, int(w * (1.0 - overlap))) for w in window)
     orig_shape = volume.shape
@@ -163,8 +155,37 @@ def sliding_window_inference(
         num_classes,
         blend=blend,
     )
-    probs = (acc / jnp.maximum(cnt, 1e-4)).astype(jnp.dtype(out_dtype))
-    probs = np.asarray(probs)
+    probs = acc / jnp.maximum(cnt, 1e-4)
     if any(pad):
         probs = probs[: orig_shape[0], : orig_shape[1], : orig_shape[2]]
     return probs
+
+
+def sliding_window_inference(
+    apply_fn: Callable,
+    params,
+    volume: np.ndarray,
+    num_classes: int,
+    window: Sequence[int] = (128, 128, 128),
+    overlap: float = 0.5,
+    batch: int = 4,
+    organ_mask: Optional[np.ndarray] = None,
+    blend: str = "uniform",
+    out_dtype=np.float16,
+) -> np.ndarray:
+    """Blended sigmoid probabilities (D, H, W, C) for one volume, on host.
+
+    `apply_fn(params, windows)` maps (K, *window, 1) → (K, *window, C) logits.
+    `volume`: (D, H, W) float32. `organ_mask`: optional (D, H, W) binary —
+    windows with zero overlap are skipped (their region stays probability 0),
+    the reference's pancreas-mask window gating. `blend`: 'uniform' (the
+    reference's hit-count average, inference3d.py:63-103) or 'gaussian'
+    (nnU-Net-style centre-weighted importance). `out_dtype`: dtype of the
+    device→host transfer — float16 halves the (D,H,W,C) probability volume's
+    transfer cost at negligible precision loss for [0,1] probabilities.
+    """
+    probs = sliding_window_probs_device(
+        apply_fn, params, volume, num_classes, window=window, overlap=overlap,
+        batch=batch, organ_mask=organ_mask, blend=blend,
+    )
+    return np.asarray(probs.astype(jnp.dtype(out_dtype)))

@@ -20,7 +20,14 @@ import jax.numpy as jnp
 
 
 def _l2norm(x, eps=1e-12):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+    """NaN-safe L2 normalisation: ``x / max(||x||, eps)`` written so the
+    gradient at x = 0 is finite. The naive form differentiates
+    ``norm = sqrt(sum(x²))`` whose VJP is x/norm = 0/0 at zero — and a CLIP
+    head whose spatial pooling collapses to one voxel outputs EXACTLY zero at
+    init (instance norm of a single token), so the first backward pass would
+    poison the weights with NaNs."""
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
 
 
 def info_nce(query, positive_key, temperature: float = 0.1):

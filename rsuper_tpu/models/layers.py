@@ -78,6 +78,42 @@ def _instance_norm_bwd(eps: float, res, dy):
 instance_norm.defvjp(_instance_norm_fwd, _instance_norm_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def instance_norm_cf(x, eps: float = 1e-4):
+    """`instance_norm` for channel-first (B, C, D, H, W) tensors — spatial
+    axes are the trailing ones. Same closed-form custom VJP."""
+    return _instance_norm_cf_fwd(x, eps)[0]
+
+
+def _instance_norm_cf_fwd(x, eps: float):
+    spatial = tuple(range(2, x.ndim))
+    n = 1
+    for d in spatial:
+        n *= x.shape[d]
+    x32 = x.astype(jnp.float32)
+    s1 = jnp.sum(x32, axis=spatial, keepdims=True)
+    s2 = jnp.sum(x32 * x32, axis=spatial, keepdims=True)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    y = ((x32 - mean) * inv).astype(x.dtype)
+    return y, (y, inv)
+
+
+def _instance_norm_cf_bwd(eps: float, res, dy):
+    y, inv = res
+    spatial = tuple(range(2, dy.ndim))
+    dy32 = dy.astype(jnp.float32)
+    y32 = y.astype(jnp.float32)
+    m1 = jnp.mean(dy32, axis=spatial, keepdims=True)
+    m2 = jnp.mean(dy32 * y32, axis=spatial, keepdims=True)
+    dx = (inv * (dy32 - m1 - y32 * m2)).astype(dy.dtype)
+    return (dx,)
+
+
+instance_norm_cf.defvjp(_instance_norm_cf_fwd, _instance_norm_cf_bwd)
+
+
 class ChannelLayerNorm(nn.Module):
     """LayerNorm over the channel axis with learnable scale/bias
     (reference ``trans_layers.py:118`` 'channels_first' LayerNorm)."""
@@ -387,6 +423,107 @@ class TransformerBlock(nn.Module):
             h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
             x = x + Mlp(self.mlp_dim, dtype=self.dtype)(h)
         return x
+
+
+class CFConv3(nn.Module):
+    """3³ SAME conv on channel-first (B, C, D, H, W) tensors via the Pallas
+    channel-first kernel (``ops/conv_cf.py``) — XLA conv on non-TPU backends.
+
+    Parameter-compatible with ``nn.Conv(features, (3,3,3), use_bias=False)``:
+    same ``kernel`` name, shape and init, so checkpoints transfer between the
+    channels-last and channel-first execution paths. Give it ``name="Conv_0"``
+    to occupy the exact slot flax would auto-assign to nn.Conv.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.conv_cf import conv3x3x3_cf
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, x.shape[1], self.features),
+            jnp.float32,
+        )
+        return conv3x3x3_cf(x.astype(self.dtype), kernel)
+
+
+class CFConv1(nn.Module):
+    """1×1×1 conv (pointwise einsum) on channel-first tensors; parameter-
+    compatible with ``nn.Conv(features, (1,1,1))`` (kernel + bias)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, 1, x.shape[1], self.features),
+            jnp.float32,
+        )
+        y = jnp.einsum(
+            "bcdhw,co->bodhw",
+            x.astype(self.dtype),
+            kernel[0, 0, 0].astype(self.dtype),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)[None, :, None, None, None]
+        return y
+
+
+class ConvNormActCF(nn.Module):
+    """Channel-first mirror of `ConvNormAct` (3³ conv, preact path only — the
+    full-res blocks are all pre-activated). Same param tree: Conv_0/kernel."""
+
+    features: int
+    norm: str = "in"
+    act: str = "relu"
+    preact: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        conv = CFConv3(self.features, dtype=self.dtype, name="Conv_0")
+        norm_fn = instance_norm_cf if self.norm == "in" else (lambda v: v)
+        act_fn = make_act(self.act)
+        if self.preact:
+            return conv(act_fn(norm_fn(x)))
+        return act_fn(norm_fn(conv(x)))
+
+
+class BasicBlockCF(nn.Module):
+    """Channel-first mirror of `BasicBlock` — identical parameter tree
+    (ConvNormAct_0/1 + optional ConvNormAct_2 shortcut)."""
+
+    features: int
+    norm: str = "in"
+    act: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = ConvNormActCF(self.features, norm=self.norm, act=self.act,
+                            dtype=self.dtype, name="ConvNormAct_0")(x)
+        out = ConvNormActCF(self.features, norm=self.norm, act=self.act,
+                            dtype=self.dtype, name="ConvNormAct_1")(out)
+        if x.shape[1] != self.features:
+            x = ConvNormActCF(self.features, norm=self.norm, act=self.act,
+                              dtype=self.dtype, name="ConvNormAct_2")(x)
+        return out + x
+
+
+def resize_trilinear_cf(x, size):
+    """Trilinear resize of channel-first (B, C, D, H, W) to spatial `size`."""
+    b, c = x.shape[:2]
+    return jax.image.resize(x, (b, c, *size), method="linear")
 
 
 def resize_trilinear(x, size):

@@ -29,6 +29,9 @@ from flax import linen as nn
 
 from .layers import (
     BLOCKS,
+    BasicBlockCF,
+    CFConv1,
+    CFConv3,
     ConvNormAct,
     DepthwiseSeparableConv,
     MBConv,
@@ -36,6 +39,7 @@ from .layers import (
     TransformerBlock,
     instance_norm,
     resize_trilinear,
+    resize_trilinear_cf,
 )
 
 Dtype = Any
@@ -309,6 +313,35 @@ class UpBlockMF(nn.Module):
         return feat, sem
 
 
+class UpBlockCF(nn.Module):
+    """Channel-first mirror of `UpBlockMF` for the no-attention full-res
+    decoder stage (trans_num = 0, no map shortcut): upsample + skip-concat +
+    conv blocks, all in (B, C, D, H, W) layout. Parameter tree matches
+    UpBlockMF exactly (BasicBlock_0..n), so pass ``name="UpBlockMF_3"``.
+
+    Rationale: at 96³ with C = 32 the channels-last layout pays a 4× lane-
+    padding tax on every activation — this stage alone was >35% of the train
+    step (docs/perf.md round 2). The CF layout keeps W in the lanes.
+    """
+
+    out_dim: int
+    conv_num: int
+    norm: str = "in"
+    act: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_low_cf, x_skip_cf, map_low, map_skip=None):
+        x = resize_trilinear_cf(x_low_cf, x_skip_cf.shape[2:]).astype(
+            x_low_cf.dtype
+        )
+        feat = jnp.concatenate([x, x_skip_cf.astype(x.dtype)], axis=1)
+        for i in range(self.conv_num):
+            feat = BasicBlockCF(self.out_dim, norm=self.norm, act=self.act,
+                                dtype=self.dtype, name=f"BasicBlock_{i}")(feat)
+        return feat, map_low
+
+
 class SemanticMapFusion(nn.Module):
     """Fuse the 3 encoder semantic maps with a small transformer
     (reference ``medformer_utils.py:234-264``)."""
@@ -396,6 +429,10 @@ class MedFormer(nn.Module):
     clip_feats: int = 768
     remat: bool = True  # rematerialise down/up blocks (3D activations are the
     # memory ceiling on 16 GB chips; ~1/3 extra flops buys fitting 96-128^3)
+    # run the full-resolution stem + last decoder stage in channel-first
+    # layout with the Pallas conv (ops/conv_cf.py) — identical math and
+    # parameter tree, ~4x less lane padding at C=base_chan on TPU
+    cf_fullres: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -407,12 +444,29 @@ class MedFormer(nn.Module):
         Up = nn.remat(UpBlockMF) if self.remat else UpBlockMF
         x = x.astype(self.dtype)
 
+        use_cf = (
+            self.cf_fullres
+            and self.conv_block == "BasicBlock"
+            and self.norm == "in"
+            and tn[7] == 0
+            and self.kernel_size[0] == 3
+            and x.shape[1] % 2 == 0
+        )
+
         # conv stem
-        x0 = nn.Conv(self.base_chan, (3, 3, 3), padding="SAME", use_bias=False,
-                     dtype=self.dtype, param_dtype=jnp.float32)(x)
-        x0 = BLOCKS[self.conv_block](self.base_chan, kernel_size=self.kernel_size[0],
-                                     norm=self.norm, act=self.act,
-                                     dtype=self.dtype)(x0)
+        if use_cf:
+            x_cf = jnp.moveaxis(x, -1, 1)  # (B, 1, D, H, W)
+            x0_cf = CFConv3(self.base_chan, dtype=self.dtype, name="Conv_0")(x_cf)
+            x0_cf = BasicBlockCF(self.base_chan, norm=self.norm, act=self.act,
+                                 dtype=self.dtype, name="BasicBlock_0")(x0_cf)
+            x0 = jnp.moveaxis(x0_cf, 1, -1)
+        else:
+            x0 = nn.Conv(self.base_chan, (3, 3, 3), padding="SAME", use_bias=False,
+                         dtype=self.dtype, param_dtype=jnp.float32)(x)
+            x0 = BLOCKS[self.conv_block](self.base_chan, kernel_size=self.kernel_size[0],
+                                         norm=self.norm, act=self.act,
+                                         dtype=self.dtype)(x0)
+            x0_cf = None
 
         def down(i, inp, map_generate):
             return Down(
@@ -479,10 +533,20 @@ class MedFormer(nn.Module):
             aux = resize_trilinear(a, x.shape[1:4])
 
         out, sem = up(6, out, x1, sem, None, False)
-        out, sem = up(7, out, x0, sem, None, False)
-
-        logits = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
-                         param_dtype=jnp.float32, name="outc")(out)
+        if use_cf:
+            UpCF = nn.remat(UpBlockCF) if self.remat else UpBlockCF
+            out_cf, sem = UpCF(
+                ch[7], cn[7], norm=self.norm, act=self.act,
+                dtype=self.dtype, name="UpBlockMF_3",
+            )(jnp.moveaxis(out, -1, 1), x0_cf, sem, None)
+            logits = jnp.moveaxis(
+                CFConv1(self.num_classes, dtype=self.dtype, name="outc")(out_cf),
+                1, -1,
+            )
+        else:
+            out, sem = up(7, out, x0, sem, None, False)
+            logits = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
+                             param_dtype=jnp.float32, name="outc")(out)
 
         ret = {"segmentation": [logits, aux] if self.aux_loss else logits}
         if self.classification_classes:

@@ -1,0 +1,246 @@
+"""Channel-first 3³ convolution for small channel counts (Pallas, TPU).
+
+Why this exists: XLA:TPU lays conv activations out channels-minor, and the
+(8, 128) vector tiling pads the lane (channel) dimension to 128 — at the
+full-resolution stages of a 3D U-Net (C = 32) every activation, residual and
+gradient carries a 4× padding tax, and profiling showed the full-res stage is
+>50% of the R-Super train step (docs/perf.md). Lifting tricks
+(space-to-depth) provably trade that padding for an equal factor of extra
+FLOPs, so the fix is a kernel that computes the conv in a **channel-first
+layout** where the lane dimension is the flattened in-plane space H·W and the
+MXU contraction runs over ``3·C_in`` (kw-unrolled).
+
+Shape story: operands are reshaped (in XLA, outside the kernel) from
+(B, C, D, H, W) to (B, C, D, H·W); the grid is one (batch, depth-row) program
+per step; the three depth taps arrive as separate halo refs (kd−1, kd, kd+1,
+edge-clamped and masked to zero); kh taps are ±W lane shifts (zero-filled at
+the top/bottom rows by construction); kw taps are ±1 lane shifts with the
+wrapped w-edge column masked via an iota-mod-W predicate. Every dot is a
+strictly 2D (C_out, 3·C_in) × (3·C_in, H·W) MXU matmul with f32 accumulation
+— Mosaic supports nothing fancier (multi-dim dot operands fail with
+"unsupported shape cast", observed on v5e).
+
+The backward pass is two more kernels: ``dx = conv(dy, flip(w)ᵀ)`` (the same
+forward kernel) and a wgrad kernel accumulating ``dw[kd,kh] += dy ⋅ patchᵀ``
+across the sequential TPU grid.
+
+Non-TPU backends dispatch to ``lax.conv_general_dilated`` with NCDHW
+dimension numbers (same math; CPU tests run the XLA path, and the Pallas
+path is unit-tested in interpret mode).
+
+Reference parity: this computes exactly ``flax.linen.Conv(features, (3,3,3),
+padding='SAME', use_bias=False)`` on transposed operands — see
+``tests/test_ops.py`` golden comparisons.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _row(ref):
+    """(1, C, 1, S) halo/body block → 2D (C, S)."""
+    return ref[0, :, 0, :]
+
+
+def _shift_w(x, k, W):
+    """kw tap: shift the flattened (C, S) row by k−1 ∈ {−1, 0, +1} lanes,
+    masking the column that wrapped across a w-edge."""
+    if k == 1:
+        return x
+    S = x.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) % W
+    if k == 0:  # value from w−1; w = 0 has no left neighbour
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1
+        )
+        return jnp.where(col == 0, jnp.zeros_like(shifted), shifted)
+    shifted = jnp.concatenate(  # value from w+1; w = W−1 has no right one
+        [x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1
+    )
+    return jnp.where(col == W - 1, jnp.zeros_like(shifted), shifted)
+
+
+def _shift_h(x, k, W):
+    """kh tap: shift by (k−1)·W lanes — rows are W apart in the flattened
+    layout, and the zero fill lands exactly on the h-edge rows."""
+    if k == 1:
+        return x
+    zeros = jnp.zeros_like(x[:, :W])
+    if k == 0:
+        return jnp.concatenate([zeros, x[:, :-W]], axis=1)
+    return jnp.concatenate([x[:, W:], zeros], axis=1)
+
+
+def _make_patch(rows, kd, kh, W):
+    """(3·C_in, S) kw-stacked patch for tap (kd, kh) from the three depth
+    rows."""
+    xk = _shift_h(rows[kd], kh, W)
+    return jnp.concatenate([_shift_w(xk, kw, W) for kw in range(3)], axis=0)
+
+
+def _fwd_kernel(W: int, xp_ref, xm_ref, xn_ref, w_ref, y_ref):
+    """One (batch, depth-row) program: y[co, s] = Σ_{kd,kh} W[kd,kh] @ patch."""
+    d = pl.program_id(1)
+    nd = pl.num_programs(1)
+    xp, xm, xn = _row(xp_ref), _row(xm_ref), _row(xn_ref)
+    rows = [
+        jnp.where(d == 0, jnp.zeros_like(xp), xp),
+        xm,
+        jnp.where(d == nd - 1, jnp.zeros_like(xn), xn),
+    ]
+    acc = None
+    for kd in range(3):
+        for kh in range(3):
+            patch = _make_patch(rows, kd, kh, W)
+            part = jax.lax.dot_general(
+                w_ref[kd, kh],
+                patch,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+    y_ref[0, :, 0, :] = acc.astype(y_ref.dtype)
+
+
+def _wgrad_kernel(W: int, xp_ref, xm_ref, xn_ref, dy_ref, dw_ref):
+    """Accumulate dw[kd, kh, co, 3·ci] += dy ⋅ patchᵀ over the sequential
+    grid (same patch construction as the forward)."""
+    b = pl.program_id(0)
+    d = pl.program_id(1)
+    nd = pl.num_programs(1)
+    xp, xm, xn = _row(xp_ref), _row(xm_ref), _row(xn_ref)
+    rows = [
+        jnp.where(d == 0, jnp.zeros_like(xp), xp),
+        xm,
+        jnp.where(d == nd - 1, jnp.zeros_like(xn), xn),
+    ]
+    dy = _row(dy_ref)  # (Co, S)
+
+    @pl.when((b == 0) & (d == 0))
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    for kd in range(3):
+        for kh in range(3):
+            patch = _make_patch(rows, kd, kh, W)
+            part = jax.lax.dot_general(
+                dy,
+                patch,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Co, 3·Ci)
+            dw_ref[kd, kh] += part
+
+
+def _halo_specs(Ci, D, S):
+    """BlockSpecs for the (prev, main, next) depth-row trio of a
+    (B, Ci, D, S) operand; edge indices are clamped (the kernel masks their
+    contribution to zero at the volume boundaries)."""
+    return [
+        pl.BlockSpec(
+            (1, Ci, 1, S), lambda b, d: (b, 0, jnp.maximum(d - 1, 0), 0)
+        ),
+        pl.BlockSpec((1, Ci, 1, S), lambda b, d: (b, 0, d, 0)),
+        pl.BlockSpec(
+            (1, Ci, 1, S), lambda b, d: (b, 0, jnp.minimum(d + 1, D - 1), 0)
+        ),
+    ]
+
+
+def _prep_w(w):
+    """(3, 3, 3, Ci, Co) flax kernel → (3, 3, Co, 3·Ci) with kw folded into
+    the contraction (patch row order = kw-major, ci-minor)."""
+    w = jnp.transpose(w, (0, 1, 4, 2, 3))  # (kd, kh, co, kw, ci)
+    kd, kh, co, kw, ci = w.shape
+    return w.reshape(kd, kh, co, kw * ci)
+
+
+def _conv3_cf_pallas(x, w, interpret=False):
+    B, Ci, D, H, W = x.shape
+    Co = w.shape[-1]
+    S = H * W
+    xf = x.reshape(B, Ci, D, S)
+    w_prep = _prep_w(w).astype(x.dtype)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, W),
+        grid=(B, D),
+        in_specs=_halo_specs(Ci, D, S)
+        + [pl.BlockSpec((3, 3, Co, 3 * Ci), lambda b, d: (0, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, Co, 1, S), lambda b, d: (b, 0, d, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Co, D, S), x.dtype),
+        interpret=interpret,
+    )(xf, xf, xf, w_prep)
+    return out.reshape(B, Co, D, H, W)
+
+
+def _wgrad_pallas(x, dy, Co, interpret=False):
+    B, Ci, D, H, W = x.shape
+    S = H * W
+    xf = x.reshape(B, Ci, D, S)
+    dyf = dy.reshape(B, Co, D, S)
+    dw = pl.pallas_call(
+        functools.partial(_wgrad_kernel, W),
+        grid=(B, D),
+        in_specs=_halo_specs(Ci, D, S)
+        + [pl.BlockSpec((1, Co, 1, S), lambda b, d: (b, 0, d, 0))],
+        out_specs=pl.BlockSpec((3, 3, Co, 3 * Ci), lambda b, d: (0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3, 3, Co, 3 * Ci), jnp.float32),
+        interpret=interpret,
+    )(xf, xf, xf, dyf)
+    # (kd, kh, co, kw*ci) → flax layout (kd, kh, kw, ci, co)
+    dw = dw.reshape(3, 3, Co, 3, Ci)
+    return jnp.transpose(dw, (0, 1, 3, 4, 2))
+
+
+def _flip_w(w):
+    """Weights of the transposed conv: flip taps, swap in/out channels."""
+    return jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv3_cf(x, w, interpret=False):
+    return _conv3_cf_pallas(x, w, interpret)
+
+
+def _conv3_cf_fwd(x, w, interpret):
+    return _conv3_cf_pallas(x, w, interpret), (x, w)
+
+
+def _conv3_cf_bwd(interpret, res, dy):
+    x, w = res
+    dx = _conv3_cf_pallas(dy, _flip_w(w).astype(dy.dtype), interpret)
+    dw = _wgrad_pallas(x, dy, w.shape[-1], interpret)
+    return dx, dw.astype(w.dtype)
+
+
+_conv3_cf.defvjp(_conv3_cf_fwd, _conv3_cf_bwd)
+
+
+def _conv3_cf_xla(x, w):
+    """Reference semantics on non-TPU backends: NCDHW conv, SAME padding."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(x.dtype)
+
+
+def conv3x3x3_cf(x, w, force_pallas: bool = False, interpret: bool = False):
+    """SAME 3³ conv on channel-first operands.
+
+    x: (B, C_in, D, H, W); w: (3, 3, 3, C_in, C_out) — the flax ``nn.Conv``
+    kernel layout, so parameters are interchangeable with the channels-last
+    path. Differentiable (custom VJP on the Pallas path).
+    """
+    if force_pallas or jax.default_backend() == "tpu":
+        return _conv3_cf(x, w.astype(x.dtype), interpret)
+    return _conv3_cf_xla(x, w.astype(x.dtype))

@@ -139,16 +139,8 @@ def _dilate_ball5_cf(x):
     return (out > 0.5).astype(x.dtype)
 
 
-def _dilate_maxpool_cf(x, kernel_size: int):
-    """Cube-kernel dilation via three separable reduce_window maxes, with the
-    reference's ball-compensation size k/sqrt(2) (``dilate_volume_maxpool``,
-    ``losses_foundation.py:101-146``). Far cheaper than the exact ball for
-    large margins; shape differs at corners (cube vs sphere)."""
-    k = max(1, int(kernel_size / math.sqrt(2.0)))
-    if k % 2 == 0:
-        k += 1
-    if k <= 1:
-        return x
+def _separable_max_cf(x, k: int):
+    """Exact cube(k) dilation: one reduce_window max per spatial axis."""
     out = x.astype(jnp.float32)
     pad = k // 2
     for axis in range(x.ndim - 3, x.ndim):
@@ -160,6 +152,29 @@ def _dilate_maxpool_cf(x, kernel_size: int):
             out, -jnp.inf, jax.lax.max, tuple(dims), (1,) * x.ndim, padding
         )
     return (out > 0.5).astype(x.dtype)
+
+
+def dilate_cube_cf(x, kernel_size: int):
+    """Exact cube-kernel dilation for (..., D, H, W) binary arrays — equals
+    scipy ``binary_dilation(structure=ones(3³), iterations=(k-1)//2)``."""
+    if kernel_size % 2 == 0:
+        kernel_size += 1
+    if kernel_size <= 1:
+        return x
+    return _separable_max_cf(x, kernel_size)
+
+
+def _dilate_maxpool_cf(x, kernel_size: int):
+    """Cube-kernel dilation via three separable reduce_window maxes, with the
+    reference's ball-compensation size k/sqrt(2) (``dilate_volume_maxpool``,
+    ``losses_foundation.py:101-146``). Far cheaper than the exact ball for
+    large margins; shape differs at corners (cube vs sphere)."""
+    k = max(1, int(kernel_size / math.sqrt(2.0)))
+    if k % 2 == 0:
+        k += 1
+    if k <= 1:
+        return x
+    return _separable_max_cf(x, k)
 
 
 @partial(jax.jit, static_argnames=("kernel_size", "method"))

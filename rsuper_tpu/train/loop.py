@@ -129,16 +129,35 @@ def train(
     local_bs = cfg.batch_size // n_proc
     shard = cfg.shard_index if n_proc == 1 else jax.process_index()
     num_shards = cfg.data_shards if n_proc == 1 else n_proc
-    sampler = ChunkedSampler(
-        len(dataset), cfg.iter_per_epoch * cfg.batch_size,
-        shard=shard, num_shards=num_shards, seed=cfg.seed,
-    )
+    if cfg.clip_pretrain and hasattr(dataset, "crop_organs"):
+        # CLIP pretraining: organ-homogeneous global batches (InfoNCE
+        # negatives must not be separable by organ; reference sampler_clip)
+        from ..data.sampler import OrganBatchSampler
+
+        osampler = OrganBatchSampler(
+            dataset.crop_organs(), cfg.batch_size, seed=cfg.seed,
+            shard=shard, num_shards=num_shards,
+        )
+        epoch_indices = lambda e: osampler.epoch_indices(e, cfg.iter_per_epoch)
+    else:
+        sampler = ChunkedSampler(
+            len(dataset), cfg.iter_per_epoch * cfg.batch_size,
+            shard=shard, num_shards=num_shards, seed=cfg.seed,
+        )
+        epoch_indices = sampler.epoch_indices
     aug_key = jax.random.PRNGKey(cfg.seed + 1)
-    augment_fn = build_augment_step(
-        mesh, crop_size=tuple(cfg.training_size), scale=tuple(cfg.scale),
-        rotate=tuple(cfg.rotate), translate=tuple(cfg.translate),
-        out_dtype=dtype,
+    is_2d = cfg.dimension == "2d" or (
+        cfg.dimension == "auto" and len(cfg.training_size) == 2
     )
+    if is_2d:
+        # 2D slices are augmented on host (data/dataset2d.py); no device pass
+        augment_fn = None
+    else:
+        augment_fn = build_augment_step(
+            mesh, crop_size=tuple(cfg.training_size), scale=tuple(cfg.scale),
+            rotate=tuple(cfg.rotate), translate=tuple(cfg.translate),
+            out_dtype=dtype,
+        )
 
     from ..utils.profiling import PhaseTimer, TraceCapture
 
@@ -152,7 +171,7 @@ def train(
     total_steps = 0
     for epoch in range(start_epoch, cfg.epochs):
         loader = PrefetchLoader(
-            dataset, local_bs, sampler.epoch_indices(epoch),
+            dataset, local_bs, epoch_indices(epoch),
             num_workers=cfg.num_workers,
         )
         loss_meter = AverageMeter("loss")
@@ -170,8 +189,9 @@ def train(
             )
             with timer.phase("h2d"):
                 batch = local_batch_to_global(batch, mesh)
-            with timer.phase("augment"):
-                batch = augment_fn(batch, item_keys)
+            if augment_fn is not None:
+                with timer.phase("augment"):
+                    batch = augment_fn(batch, item_keys)
             with timer.phase("step"):
                 state, losses = step_fn(state, batch)
             total_steps += 1
@@ -214,7 +234,7 @@ def train(
 
         val_metric = None
         if test_cases is not None and cfg.val_freq and (epoch + 1) % cfg.val_freq == 0:
-            from .validation import validate_cases
+            from .validation import validate_cases, validate_cases_2d
 
             def apply_fn(params, x):
                 out = model.apply(params, x)["segmentation"]
@@ -227,7 +247,8 @@ def train(
                 # illegal); every process computes the identical metric, so
                 # the collective best-checkpoint save below stays consistent
                 val_params = jax.device_get(val_params)
-            results = validate_cases(
+            validate = validate_cases_2d if is_2d else validate_cases
+            results = validate(
                 apply_fn,
                 val_params,
                 test_cases, len(cfg.classes), window=cfg.training_size,

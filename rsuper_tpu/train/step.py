@@ -24,10 +24,27 @@ from ..losses import LesionChannelMap, LossConfig, calculate_loss
 from .state import TrainState
 
 
+def _lift_2d(x):
+    """(B, H, W, C) → (B, 1, H, W, C): 2D-pathway tensors become depth-1
+    volumes so the loss stack (spatial axes (1, 2, 3)) serves both modes."""
+    return x[:, None] if x is not None and x.ndim == 4 else x
+
+
 def loss_fn(params, model, batch: Dict[str, Any], lmap: LesionChannelMap,
             cfg: LossConfig, model_genesis: bool = False,
             clip_only: bool = False, data_axis=None):
     out = model.apply(params, batch["image"])
+    if batch["image"].ndim == 4 and not clip_only:  # 2D slices
+        seg = out.get("segmentation")
+        if isinstance(seg, (tuple, list)):
+            out = {**out, "segmentation": [_lift_2d(h) for h in seg]}
+        else:
+            out = {**out, "segmentation": _lift_2d(seg)}
+        batch = {
+            **batch,
+            **{k: _lift_2d(batch.get(k))
+               for k in ("label", "unk", "segment_mask")},
+        }
     losses = calculate_loss(
         out,
         batch.get("label"),

@@ -56,3 +56,34 @@ def validate_cases(
         "hd95": hds / denom,
         "cases_per_class": counts,
     }
+
+
+def validate_cases_2d(
+    apply_fn: Callable,
+    params,
+    cases: Sequence,  # iterable of (image (D,H,W), labels (C,D,H,W))
+    num_classes: int,
+    window=(256, 256),
+    threshold: float = 0.5,
+    batch: int = 8,
+) -> Dict[str, np.ndarray]:
+    """2D-pathway validation: slice-wise sliding-window inference stacked back
+    into the volume, volumetric Dice per class (the reference's 2D mode
+    evaluates the same way: per-slice forward, 3D metric)."""
+    from ..inference.sliding_window2d import sliding_window_inference_2d
+
+    dices = np.zeros(num_classes)
+    counts = np.zeros(num_classes)
+    for image, labels in cases:
+        probs = sliding_window_inference_2d(
+            apply_fn, params, image, num_classes, window=window, batch=batch
+        )
+        pred = probs > threshold
+        for c in range(num_classes):
+            target = labels[c] > 0
+            if not target.any():
+                continue
+            counts[c] += 1
+            dices[c] += dice_score(pred[..., c], target)
+    denom = np.maximum(counts, 1)
+    return {"dice": dices / denom, "cases_per_class": counts}

@@ -22,4 +22,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent compile cache: the suite is compile-dominated (jitted train
+# steps over the virtual mesh); repeat runs hit the cache and drop from
+# ~27 min to minutes
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 assert jax.devices()[0].platform == "cpu"

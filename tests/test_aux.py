@@ -241,6 +241,40 @@ def test_dataset_prep(tmp_path):
     assert n == 2
 
 
+def test_predict_suborgans_sharding(tmp_path):
+    """nnU-Net driver plumbing: case discovery, resume filter, parts split
+    (reference PredictSubOrgansnUnet.py:21-94,120-135)."""
+    from rsuper_tpu.organ_masks.predict_suborgans import (
+        collect_cases,
+        filter_existing_outputs,
+        split_files,
+    )
+
+    # flat layout
+    src = tmp_path / "cts"; src.mkdir()
+    out = tmp_path / "preds"; out.mkdir()
+    for i in range(5):
+        (src / f"BDMAP_{i}.nii.gz").write_bytes(b"x")
+    fi, fo = collect_cases(str(src), str(out))
+    assert len(fi) == 5 and fi[0] == [str(src / "BDMAP_0.nii.gz")]
+    # resume: existing outputs are skipped
+    (out / "BDMAP_1.nii.gz").write_bytes(b"y")
+    fi2, fo2 = filter_existing_outputs(fi, fo)
+    assert len(fi2) == 4 and all("BDMAP_1" not in o for o in fo2)
+    # contiguous-block parts split covers everything exactly once
+    parts = [split_files(fi, fo, 3, i)[0] for i in range(3)]
+    assert [len(p) for p in parts] == [2, 2, 1]
+    assert sum(parts, []) == fi
+
+    # BDMAP folder layout
+    src2 = tmp_path / "bd"; src2.mkdir()
+    for c in ("BDMAP_A", "BDMAP_B", "notacase"):
+        (src2 / c).mkdir()
+        (src2 / c / "ct.nii.gz").write_bytes(b"x")
+    fi3, fo3 = collect_cases(str(src2), str(out), bdmap_format=True)
+    assert len(fi3) == 2 and fi3[0][0].endswith("BDMAP_A/ct.nii.gz")
+
+
 def test_liver_lobe_and_dome_segment_groups():
     """Reference create_metadata.py:925-944 lobe/dome mappings — phrases that
     round 1 dropped to 'u' (losing ball/volume-loss sub-segment targeting)."""

@@ -421,6 +421,56 @@ def test_organ_batch_sampler():
     np.testing.assert_array_equal(batch, s.batch(0))
 
 
+def test_organ_batch_sampler_epochs_and_shards():
+    from rsuper_tpu.data.sampler import OrganBatchSampler
+
+    organs = ["liver", "kidney", "liver", "kidney", "pancreas", "pancreas"]
+    pools = {
+        "liver": {0, 2}, "kidney": {1, 3}, "pancreas": {4, 5},
+    }
+    a = OrganBatchSampler(organs, batch_size=4, seed=3, shard=0, num_shards=2)
+    b = OrganBatchSampler(organs, batch_size=4, seed=3, shard=1, num_shards=2)
+    ia, ib = a.epoch_indices(0, steps_per_epoch=5), b.epoch_indices(0, steps_per_epoch=5)
+    assert len(ia) == len(ib) == 10  # 5 steps x local batch 2
+    for s in range(5):
+        # each global step's items (across both shards) share one organ
+        step_items = set(ia[2 * s : 2 * s + 2]) | set(ib[2 * s : 2 * s + 2])
+        assert any(step_items <= pool for pool in pools.values()), step_items
+    # different epochs draw different organ sequences (deterministic per step)
+    np.testing.assert_array_equal(ia, a.epoch_indices(0, steps_per_epoch=5))
+
+
+def test_dataset_crop_organs(tmp_path):
+    mask = Case(*_make_mask_case(tmp_path), False)
+    report = Case(*_make_report_case(tmp_path), True)
+    ds = RSuperDataset([mask, report], _cfg(), report_rows=_report_rows())
+    assert ds.crop_organs() == ["mask", "pancreas"]
+    # report case without rows -> healthy pool
+    ds2 = RSuperDataset([report], _cfg(), report_rows=None)
+    assert ds2.crop_organs() == ["healthy"]
+
+
+def test_slice_dataset_2d(tmp_path):
+    """2D pathway dataset: foreground-biased axial slices, fixed-shape
+    records compatible with to_channels_last + PrefetchLoader."""
+    from rsuper_tpu.data.dataset2d import SliceDataConfig, SliceDataset
+
+    case = Case(*_make_mask_case(tmp_path), False)
+    ds = SliceDataset([case], SliceDataConfig(
+        classes=tuple(CLASSES), crop_size=(48, 48), fg_bias=1.0))
+    rng = np.random.default_rng(0)
+    rec = ds.sample(0, rng)
+    assert rec["image"].shape == (48, 48)
+    assert rec["label"].shape == (len(CLASSES), 48, 48)
+    assert rec["volumes"].shape == (10,)
+    # fg_bias=1: the sampled slice carries foreground (pancreas 20:40 in z)
+    hits = sum(ds.sample(0, rng)["label"][1:].any() for _ in range(10))
+    assert hits == 10
+    out = to_channels_last(rec)
+    assert out["image"].shape == (48, 48, 1)
+    assert out["label"].shape == (48, 48, len(CLASSES))
+
+
 def test_preprocess_background_synthesis(tmp_path):
     ct = np.zeros((16, 16, 16), np.float32)
     organ = np.zeros((16, 16, 16), np.uint8)

@@ -358,6 +358,24 @@ def test_symmetric_info_nce_prefers_aligned():
     assert aligned < shuffled
 
 
+def test_info_nce_zero_embedding_gradient_finite():
+    """A CLIP head whose pooled spatial map collapses to one voxel emits
+    EXACTLY zero at init (instance norm of a single token + zero biases);
+    the InfoNCE gradient must stay finite there or the first update poisons
+    the weights (regression: train_cli clip_pretrain NaN at step 2)."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+
+    def loss(q):
+        return symmetric_info_nce(q, k)
+
+    g = jax.grad(loss)(jnp.zeros((4, 16), jnp.float32))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0  # signal still flows off the zero point
+
+
 def test_model_genesis_loss():
     a = jnp.zeros((2, 4, 4, 4, 1))
     out = model_genesis_loss(a + 3.0, a)

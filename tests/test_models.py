@@ -38,6 +38,41 @@ def test_medformer_shapes_and_aux():
     assert n_params > 1e6
 
 
+def test_medformer_cf_fullres_equivalent():
+    """The channel-first full-res execution (Pallas conv layout path) must be
+    a pure re-layout: identical parameter tree, same outputs and gradients as
+    the channels-last path given the same params."""
+    args = {"base_chan": 4, "chan_num": (8, 16, 16, 16, 16, 16, 8, 4),
+            "num_heads": (1, 2, 2, 2, 2, 2, 1, 1), "fusion_dim": 16,
+            "fusion_heads": 2, "trans_num": (0, 1, 1, 1, 1, 1, 0, 0),
+            "conv_num": (1, 0, 0, 0, 0, 0, 1, 1), "remat": False}
+    m_cl = get_model("medformer", 3, {**args, "cf_fullres": False},
+                     dtype=jnp.float32)
+    m_cf = get_model("medformer", 3, {**args, "cf_fullres": True},
+                     dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 16, 16, 16, 1)),
+        jnp.float32,
+    )
+    p_cl = m_cl.init(jax.random.PRNGKey(0), x)
+    p_cf = m_cf.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(p_cl) == jax.tree.structure(p_cf)
+    for a, b in zip(jax.tree.leaves(p_cl), jax.tree.leaves(p_cf)):
+        assert a.shape == b.shape
+
+    out_cl = m_cl.apply(p_cl, x)["segmentation"][0]
+    out_cf = m_cf.apply(p_cl, x)["segmentation"][0]  # same params
+    np.testing.assert_allclose(out_cf, out_cl, atol=2e-4)
+
+    def loss(params, model):
+        return jnp.sum(model.apply(params, x)["segmentation"][0] ** 2)
+
+    g_cl = jax.grad(loss)(p_cl, m_cl)
+    g_cf = jax.grad(loss)(p_cl, m_cf)
+    for a, b in zip(jax.tree.leaves(g_cl), jax.tree.leaves(g_cf)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-3)
+
+
 def test_medformer_branches():
     _, _, out = _init_and_run(
         "medformer", {"classification_classes": 3, "clip_branch": True, "clip_feats": 16}

@@ -299,3 +299,66 @@ def test_dilate_cf_ball5_exact():
         for i in range(2)
     ])
     np.testing.assert_array_equal(got, want)
+
+
+# ------------------------------------------------------------ channel-first conv
+class TestConvCF:
+    """Pallas channel-first 3x3x3 conv vs flax nn.Conv golden values.
+
+    The XLA dispatch path runs everywhere; the Pallas kernel itself is
+    validated in interpret mode (real lowering is exercised by bench.py on
+    TPU hardware)."""
+
+    def _golden(self, x_cl, w):
+        import flax.linen as nn
+
+        conv = nn.Conv(w.shape[-1], (3, 3, 3), padding="SAME", use_bias=False)
+        return conv.apply({"params": {"kernel": w}}, x_cl)
+
+    def _setup(self, B=2, C=8, Co=8, S=(6, 8, 10), seed=0):
+        rng = np.random.default_rng(seed)
+        x_cl = rng.normal(size=(B, *S, C)).astype(np.float32)
+        w = rng.normal(size=(3, 3, 3, C, Co)).astype(np.float32) * 0.2
+        return jnp.asarray(x_cl), jnp.asarray(w)
+
+    def test_xla_path_matches_flax(self):
+        from rsuper_tpu.ops.conv_cf import conv3x3x3_cf
+
+        x_cl, w = self._setup()
+        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        got = jnp.moveaxis(conv3x3x3_cf(x_cf, w), 1, -1)
+        np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-4)
+
+    def test_pallas_interpret_matches_flax(self):
+        from rsuper_tpu.ops.conv_cf import conv3x3x3_cf
+
+        x_cl, w = self._setup()
+        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        got = jnp.moveaxis(
+            conv3x3x3_cf(x_cf, w, force_pallas=True, interpret=True), 1, -1
+        )
+        np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-4)
+
+    def test_pallas_gradients_match_xla(self):
+        import jax
+
+        from rsuper_tpu.ops.conv_cf import conv3x3x3_cf
+
+        x_cl, w = self._setup(B=1, C=4, Co=6, S=(4, 6, 8))
+        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        cot = jnp.asarray(
+            np.random.default_rng(1).normal(size=(1, 6, 4, 6, 8)).astype(np.float32)
+        )
+
+        def f_pallas(x, w):
+            return jnp.sum(
+                conv3x3x3_cf(x, w, force_pallas=True, interpret=True) * cot
+            )
+
+        def f_xla(x, w):
+            return jnp.sum(conv3x3x3_cf(x, w) * cot)
+
+        gx_p, gw_p = jax.grad(f_pallas, argnums=(0, 1))(x_cf, w)
+        gx_x, gw_x = jax.grad(f_xla, argnums=(0, 1))(x_cf, w)
+        np.testing.assert_allclose(gx_p, gx_x, atol=1e-4)
+        np.testing.assert_allclose(gw_p, gw_x, atol=1e-3)

@@ -137,6 +137,73 @@ def test_detection_table_and_eval(tmp_path):
     assert best["f1"] == 1.0
 
 
+def test_device_postprocess_packed_matches_host():
+    """The on-device threshold+organ-gate+bit-pack path must reproduce the
+    host postprocess exactly (the packed uint8 transfer is the 32x D2H cut)."""
+    import jax.numpy as jnp
+
+    from rsuper_tpu.inference.predict import (
+        device_postprocess_packed,
+        postprocess_prediction,
+        predict_masks_volume,
+        unpack_masks,
+    )
+
+    classes = ("background", "kidney_left", "kidney_right", "kidney_lesion",
+               "liver", "liver_lesion", "pancreas", "pancreatic_lesion",
+               "spleen")
+    rng = np.random.default_rng(0)
+    probs = rng.uniform(size=(24, 24, 24, len(classes))).astype(np.float32)
+    # concentrated organs so gating actually carves the lesions
+    probs[..., classes.index("pancreas")] = 0.0
+    probs[4:12, 4:12, 4:12, classes.index("pancreas")] = 0.9
+    host = postprocess_prediction(probs, classes, organ_dilation=3)
+    packed = np.asarray(device_postprocess_packed(jnp.asarray(probs), classes))
+    assert packed.shape == (24, 24, 24, 2)  # 9 classes -> 2 uint8 words
+    dev = unpack_masks(packed, classes)
+    for cls in classes:
+        np.testing.assert_array_equal(dev[cls], host[cls], err_msg=cls)
+
+    # end-to-end ensemble path: identical models -> same masks as one model
+    def apply_fn(params, x):
+        out = jnp.zeros((x.shape[0], *x.shape[1:4], len(classes)), jnp.float32)
+        return out.at[..., classes.index("spleen")].set(5.0 * x[..., 0])
+
+    vol = (rng.uniform(size=(24, 24, 24)) > 0.5).astype(np.float32)
+    masks = predict_masks_volume([apply_fn, apply_fn], [None, None], vol,
+                                 classes, window=(16, 16, 16), batch=2)
+    expect = (1 / (1 + np.exp(-5.0 * vol)) > 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(masks["spleen"], expect)
+
+
+def test_detection_table_nnunet(tmp_path):
+    """Flat nnU-Net npz probability stacks: plain threshold volumes, fixed
+    tumor channels, no denoise (reference eval_AUC_nnunet.py)."""
+    from rsuper_tpu.eval.detection import NNUNET_TUMOUR_CH, detection_table_nnunet
+
+    C = 18
+    for case, has in [("BDMAP_X", True), ("BDMAP_Y", False)]:
+        probs = np.zeros((C, 16, 16, 16), np.float32)
+        if has:
+            probs[NNUNET_TUMOUR_CH["pancreatic"], 4:8, 4:8, 4:8] = 0.8
+            probs[NNUNET_TUMOUR_CH["kidney"], 10, 10, 10] = 0.6  # lone voxel KEPT
+        np.savez_compressed(tmp_path / f"{case}.npz", probabilities=probs)
+    tables = detection_table_nnunet(str(tmp_path))
+    df = tables[0.5]
+    assert set(df.BDMAP_ID) == {"BDMAP_X", "BDMAP_Y"}
+    x = df[df.BDMAP_ID == "BDMAP_X"].iloc[0]
+    assert x["pancreatic tumor volume predicted"] == 64
+    assert x["kidney tumor volume predicted"] == 1  # no erosion in this variant
+    assert x["pancreatic tumor maximum probability"] == pytest.approx(0.8)
+    assert df[df.BDMAP_ID == "BDMAP_Y"].iloc[0]["liver tumor volume predicted"] == 0
+    # threshold above the blob prob -> volume 0
+    assert tables[0.9][tables[0.9].BDMAP_ID == "BDMAP_X"].iloc[0][
+        "pancreatic tumor volume predicted"] == 0
+    # case subsetting + parts sharding
+    only_x = detection_table_nnunet(str(tmp_path), case_ids=["BDMAP_X"])
+    assert set(only_x[0.5].BDMAP_ID) == {"BDMAP_X"}
+
+
 def test_sens_spec_f1_math():
     gt = np.array([1, 1, 0, 0])
     vols = np.array([100.0, 5.0, 200.0, 1.0])

@@ -47,6 +47,11 @@ def parse_args(argv=None):
                    help="train on CT-Mask cases only (reference --Atlas_only)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace for N steps")
+    p.add_argument("--clip_pretrain", action="store_true",
+                   help="CLIP pretraining: InfoNCE on CT-crop vs report "
+                        "embeddings, organ-homogeneous batches")
+    p.add_argument("--clip_source", default=None,
+                   help="directory of per-case report-embedding .npy files")
     p.add_argument("--k_fold", type=int, default=0,
                    help="k-fold cross-validation (0 = simple split)")
     p.add_argument("--fold", type=int, default=0, help="fold index to run")
@@ -106,6 +111,8 @@ def main(argv=None):
         overrides["resume"] = True
     if not args.class_weights:
         overrides.pop("class_weights", None)
+    if not args.clip_pretrain:
+        overrides.pop("clip_pretrain", None)
     cfg = load_config(args.preset, args.config, overrides)
 
     from rsuper_tpu.data.dataset import (
@@ -174,11 +181,39 @@ def main(argv=None):
             pd.read_csv(args.class_weights_csv),
             [c.case_id for c in train_cases], lesion_names,
         )
-    dataset = RSuperDataset(train_cases, dcfg, report_rows=report_rows,
-                            class_proportions=proportions)
+    is_2d = cfg.dimension == "2d" or (
+        cfg.dimension == "auto" and len(cfg.training_size) == 2
+    )
+    if is_2d:
+        from rsuper_tpu.data.dataset2d import SliceDataConfig, SliceDataset
+
+        if any(c.is_report for c in train_cases):
+            raise SystemExit("the 2D pathway trains on CT-Mask slices only "
+                             "(report supervision is volumetric)")
+        dataset = SliceDataset(
+            train_cases,
+            SliceDataConfig(classes=tuple(classes),
+                            crop_size=tuple(cfg.training_size)),
+        )
+    else:
+        dataset = RSuperDataset(train_cases, dcfg, report_rows=report_rows,
+                                class_proportions=proportions)
+
+    model_args = dict(cfg.model_args)
+    if cfg.clip_pretrain:
+        if not cfg.clip_source:
+            raise SystemExit("--clip_pretrain needs --clip_source "
+                             "(per-case report-embedding .npy directory)")
+        from rsuper_tpu.data.clip import ClipRecordAdapter, ReportEmbeddingStore
+
+        model_args.setdefault("clip_branch", True)
+        dataset = ClipRecordAdapter(
+            dataset, ReportEmbeddingStore(cfg.clip_source),
+            dim=model_args.get("clip_feats", 768),
+        )
 
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    model = get_model(cfg.arch, len(classes), cfg.model_args, dtype=dtype)
+    model = get_model(cfg.arch, len(classes), model_args, dtype=dtype)
 
     def iter_test_cases():
         """Lazily load (image, labels) pairs for in-training validation
