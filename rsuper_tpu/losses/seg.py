@@ -24,12 +24,18 @@ _SPATIAL = (1, 2, 3)
 def bce_with_logits(logits, targets, weight=None):
     """Elementwise numerically-stable binary cross-entropy on logits
     (torch ``F.binary_cross_entropy_with_logits(reduction='none')`` semantics,
-    including the optional elementwise ``weight``)."""
-    x = logits.astype(jnp.float32)
-    z = targets.astype(jnp.float32)
+    including the optional elementwise ``weight``).
+
+    Computes in the INPUT dtype: bf16 logits keep the whole elementwise
+    pipeline (and its autodiff residuals) bf16 — half the HBM traffic over
+    (B, 96³, C) — while callers reduce with float32 accumulators. f32 inputs
+    (the golden tests) stay exact.
+    """
+    x = logits
+    z = targets.astype(x.dtype)
     loss = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
     if weight is not None:
-        loss = loss * weight
+        loss = loss * weight.astype(x.dtype)
     return loss
 
 
@@ -63,9 +69,11 @@ def masked_bce_with_logits(logits, targets, known_voxels, class_weights=None):
     """
     w = None
     if class_weights is not None:
-        w = class_weights[:, None, None, None, :].astype(jnp.float32)
+        w = class_weights[:, None, None, None, :]
     loss = bce_with_logits(logits, targets, weight=w)
-    return jnp.mean(loss * known_voxels.astype(jnp.float32))
+    # mean over the full voxel count with a float32 accumulator (bf16 cannot
+    # hold a 128³-voxel sum)
+    return jnp.mean(loss * known_voxels.astype(loss.dtype), dtype=jnp.float32)
 
 
 def adaptive_tversky_dice(
@@ -84,25 +92,31 @@ def adaptive_tversky_dice(
 
     preds/targets/known: (B, D, H, W, C). Returns scalar (reduce) or (B, C).
     """
-    p = jax.nn.sigmoid(preds.astype(jnp.float32)) if sigmoid else preds.astype(jnp.float32)
-    t = targets.astype(jnp.float32)
-    k = known_voxels.astype(jnp.float32)
+    # elementwise pipeline in the input dtype (bf16 in training — halves the
+    # HBM traffic and the autodiff residual footprint); every reduction
+    # accumulates in float32
+    p = jax.nn.sigmoid(preds) if sigmoid else preds
+    t = targets.astype(p.dtype)
+    k = known_voxels.astype(p.dtype)
     p = p * k
     t = t * k
 
+    one = jnp.ones((), p.dtype)
     tp = p * t
-    fp = p * (1.0 - t)
-    fn = (1.0 - p) * t
+    fp = p * (one - t)
+    fn = (one - p) * t
 
     # alpha over the global batch, per class (axes B + spatial)
-    fp_c = jnp.sum(fp, axis=(0,) + _SPATIAL)
-    fn_c = jnp.sum(fn, axis=(0,) + _SPATIAL)
+    fp_c = jnp.sum(fp, axis=(0,) + _SPATIAL, dtype=jnp.float32)
+    fn_c = jnp.sum(fn, axis=(0,) + _SPATIAL, dtype=jnp.float32)
     alpha = jnp.clip(fp_c / (fp_c + fn_c + smooth), 0.2, 0.8)  # (C,)
     beta = 1.0 - alpha
 
-    num = jnp.sum(tp, axis=_SPATIAL)  # (B, C)
-    den = num + alpha[None] * jnp.sum(fp, axis=_SPATIAL) + beta[None] * jnp.sum(
-        fn, axis=_SPATIAL
+    num = jnp.sum(tp, axis=_SPATIAL, dtype=jnp.float32)  # (B, C)
+    den = (
+        num
+        + alpha[None] * jnp.sum(fp, axis=_SPATIAL, dtype=jnp.float32)
+        + beta[None] * jnp.sum(fn, axis=_SPATIAL, dtype=jnp.float32)
     )
     loss = 1.0 - num / (den + smooth)  # (B, C)
     if class_weights is not None:

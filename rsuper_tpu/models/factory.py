@@ -63,7 +63,7 @@ def _medformer(args, num_classes, dtype):
         clip_branch=args.get("clip_branch", False),
         clip_feats=args.get("clip_feats", 768),
         remat=args.get("remat", True),
-        cf_fullres=args.get("cf_fullres", False),
+        cf_fullres=args.get("cf_fullres", True),
         dtype=dtype,
     )
 

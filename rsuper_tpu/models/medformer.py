@@ -432,7 +432,7 @@ class MedFormer(nn.Module):
     # run the full-resolution stem + last decoder stage in channel-first
     # layout with the Pallas conv (ops/conv_cf.py) — identical math and
     # parameter tree, ~4x less lane padding at C=base_chan on TPU
-    cf_fullres: bool = False
+    cf_fullres: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact

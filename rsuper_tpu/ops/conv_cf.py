@@ -43,8 +43,8 @@ from jax.experimental import pallas as pl
 
 
 def _row(ref):
-    """(1, C, 1, S) halo/body block → 2D (C, S)."""
-    return ref[0, :, 0, :]
+    """(1, 1, C, S) halo/body block → 2D (C, S)."""
+    return ref[0, 0]
 
 
 def _shift_w(x, k, W):
@@ -104,7 +104,7 @@ def _fwd_kernel(W: int, xp_ref, xm_ref, xn_ref, w_ref, y_ref):
                 preferred_element_type=jnp.float32,
             )
             acc = part if acc is None else acc + part
-    y_ref[0, :, 0, :] = acc.astype(y_ref.dtype)
+    y_ref[0, 0] = acc.astype(y_ref.dtype)
 
 
 def _wgrad_kernel(W: int, xp_ref, xm_ref, xn_ref, dy_ref, dw_ref):
@@ -139,15 +139,17 @@ def _wgrad_kernel(W: int, xp_ref, xm_ref, xn_ref, dy_ref, dw_ref):
 
 def _halo_specs(Ci, D, S):
     """BlockSpecs for the (prev, main, next) depth-row trio of a
-    (B, Ci, D, S) operand; edge indices are clamped (the kernel masks their
-    contribution to zero at the volume boundaries)."""
+    (B, D, Ci, S) operand — depth-major so the blocked dim is an OUTER dim
+    (Pallas requires the last two block dims be (8, 128)-divisible or full);
+    edge indices are clamped (the kernel masks their contribution to zero at
+    the volume boundaries)."""
     return [
         pl.BlockSpec(
-            (1, Ci, 1, S), lambda b, d: (b, 0, jnp.maximum(d - 1, 0), 0)
+            (1, 1, Ci, S), lambda b, d: (b, jnp.maximum(d - 1, 0), 0, 0)
         ),
-        pl.BlockSpec((1, Ci, 1, S), lambda b, d: (b, 0, d, 0)),
+        pl.BlockSpec((1, 1, Ci, S), lambda b, d: (b, d, 0, 0)),
         pl.BlockSpec(
-            (1, Ci, 1, S), lambda b, d: (b, 0, jnp.minimum(d + 1, D - 1), 0)
+            (1, 1, Ci, S), lambda b, d: (b, jnp.minimum(d + 1, D - 1), 0, 0)
         ),
     ]
 
@@ -164,30 +166,30 @@ def _conv3_cf_pallas(x, w, interpret=False):
     B, Ci, D, H, W = x.shape
     Co = w.shape[-1]
     S = H * W
-    xf = x.reshape(B, Ci, D, S)
+    xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B, D, Ci, S)
     w_prep = _prep_w(w).astype(x.dtype)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, W),
         grid=(B, D),
         in_specs=_halo_specs(Ci, D, S)
         + [pl.BlockSpec((3, 3, Co, 3 * Ci), lambda b, d: (0, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, Co, 1, S), lambda b, d: (b, 0, d, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Co, D, S), x.dtype),
+        out_specs=pl.BlockSpec((1, 1, Co, S), lambda b, d: (b, d, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, D, Co, S), x.dtype),
         interpret=interpret,
     )(xf, xf, xf, w_prep)
-    return out.reshape(B, Co, D, H, W)
+    return jnp.transpose(out.reshape(B, D, Co, H, W), (0, 2, 1, 3, 4))
 
 
 def _wgrad_pallas(x, dy, Co, interpret=False):
     B, Ci, D, H, W = x.shape
     S = H * W
-    xf = x.reshape(B, Ci, D, S)
-    dyf = dy.reshape(B, Co, D, S)
+    xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B, D, Ci, S)
+    dyf = jnp.transpose(dy, (0, 2, 1, 3, 4)).reshape(B, D, Co, S)
     dw = pl.pallas_call(
         functools.partial(_wgrad_kernel, W),
         grid=(B, D),
         in_specs=_halo_specs(Ci, D, S)
-        + [pl.BlockSpec((1, Co, 1, S), lambda b, d: (b, 0, d, 0))],
+        + [pl.BlockSpec((1, 1, Co, S), lambda b, d: (b, d, 0, 0))],
         out_specs=pl.BlockSpec((3, 3, Co, 3 * Ci), lambda b, d: (0, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((3, 3, Co, 3 * Ci), jnp.float32),
         interpret=interpret,

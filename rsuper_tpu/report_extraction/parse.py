@@ -18,19 +18,36 @@ _LESION_RE = re.compile(
     r"(?P<organ>.+?);\s*location\s*=\s*(?P<location>.+?);\s*attenuation\s*=\s*"
     r"(?P<attenuation>.+?);"
 )
-_NUM_RE = re.compile(r"(\d+(?:\.\d+)?)")
+_NUM_RE = re.compile(r"\d+\.\d+|\d+")
+_UNIT_RE = re.compile(r"(.*?)(cm|mm)")
+# the reference's size sentinels (RadGPT.py:1534-1542)
+_UNKNOWN_SIZES = ("u", "unk", "unkn", "unknown", "n/a", "na", "not available")
 
 
 def _normalize_size(raw: str) -> str:
-    """'2.3 x 1.8 cm' → '23.0 x 18.0'; '17 mm' → '17.0'; 'u'/'multiple' pass."""
+    """'2.3 x 1.8 cm' → '23 x 18' (mm); '1.2 cm x 8 mm' → '12 x 8';
+    'multiple'/'tiny'/'massive' sentinels pass through; unknown spellings → 'u'
+    (mirrors ``get_value(step='all sizes')``, RadGPT.py:1319-1341, including
+    per-segment cm→mm conversion for mixed-unit answers)."""
     raw = raw.strip().lower()
-    if raw in ("u", "unknown", "multiple", "tiny", "no lesion"):
-        return "multiple" if raw == "multiple" else ("tiny" if raw == "tiny" else "u")
-    nums = [float(x) for x in _NUM_RE.findall(raw)]
+    if "multiple" in raw:
+        return "multiple"
+    if "tiny" in raw:
+        return "tiny"
+    if "massive" in raw:
+        return "massive"
+    if raw in _UNKNOWN_SIZES:
+        return "u"
+    nums = []
+    segments = _UNIT_RE.findall(raw)
+    if segments:
+        for text, unit in segments:
+            for n in _NUM_RE.findall(text):
+                nums.append(float(n) * (10.0 if unit == "cm" else 1.0))
+    else:  # unitless answer: take the numbers as millimetres
+        nums = [float(n) for n in _NUM_RE.findall(raw)]
     if not nums:
         return "u"
-    if "cm" in raw and "mm" not in raw:
-        nums = [n * 10.0 for n in nums]
     return " x ".join(f"{n:g}" for n in nums) if len(nums) > 1 else f"{nums[0]:g}"
 
 

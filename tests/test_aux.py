@@ -106,6 +106,47 @@ def test_parse_lesion_answer():
     assert healthy[0]["no_lesion"] == "1"
 
 
+def test_parse_lesion_answer_reference_formats():
+    """Fuzz the parser with the reference's real answer variants
+    (RadGPT.py interpret_output 'type and size multi-organ' grammar)."""
+    from rsuper_tpu.report_extraction.parse import parse_lesion_answer
+
+    # chain-of-thought stripping + mixed-unit sizes + sentinel spellings
+    ans = (
+        "<think>reasoning about the report...</think>\n"
+        "lesion 1: type = cyst; certainty = certain; size = 1.2 cm x 8 mm; "
+        "organ = liver; location = segment 7; attenuation = hypoattenuating;\n"
+        "lesion 2: type = pdac; certainty = probable; size = unkn; "
+        "organ = pancreas; location = head; attenuation = u;\n"
+        "lesion 3: type = metastasis; certainty = certain; size = multiple small; "
+        "organ = liver; location = u; attenuation = u;\n"
+        "lesion 4: type = hcc; certainty = certain; size = massive; "
+        "organ = liver; location = right lobe; attenuation = u;\n"
+    )
+    out = parse_lesion_answer(ans)
+    assert [l["size"] for l in out] == ["12 x 8", "u", "multiple", "massive"]
+    assert out[0]["organ"] == "liver" and out[1]["location"] == "head"
+
+    # no-lesion sentinel only fires without a lesion line
+    healthy = parse_lesion_answer("No lesions mentioned.")
+    assert healthy[0]["no_lesion"] == "1"
+    mixed = parse_lesion_answer(
+        "No lesions mentioned... wait: lesion 1: type = cyst; certainty = u; "
+        "size = 3 mm; organ = kidney; location = left; attenuation = u;"
+    )
+    assert mixed[0]["no_lesion"] == "0" and mixed[0]["size"] == "3"
+
+    # garbage in -> no crash, empty out
+    assert parse_lesion_answer("the scan looks fine to me") == []
+    assert parse_lesion_answer("lesion 1: type = ; size = ;") == []
+    # unitless numeric size (LLM dropped the unit) -> taken as mm
+    one = parse_lesion_answer(
+        "lesion 1: type = cyst; certainty = certain; size = 14; "
+        "organ = liver; location = dome; attenuation = u;"
+    )
+    assert one[0]["size"] == "14"
+
+
 def test_standardize_organ_location():
     assert standardize_organ("Pancreatic") == "pancreas"
     assert standardize_organ("renal") == "kidney"
