@@ -532,9 +532,14 @@ class MedFormer(nn.Module):
                         param_dtype=jnp.float32, name="aux_out")(out)
             aux = resize_trilinear(a, x.shape[1:4])
 
-        out, sem = up(6, out, x1, sem, None, False)
         if use_cf:
+            # NOTE: only the FULL-res stage runs channel-first. Extending CF
+            # to up(6) (48³/64ch) was measured SLOWER (8.19 vs 8.57 patches/s
+            # on v5e): its 192-channel concat input needs 3 VMEM chunks whose
+            # halo rows re-read the input 3x, while channels-last at 64
+            # lanes only pays 2x padding.
             UpCF = nn.remat(UpBlockCF) if self.remat else UpBlockCF
+            out, sem = up(6, out, x1, sem, None, False)
             out_cf, sem = UpCF(
                 ch[7], cn[7], norm=self.norm, act=self.act,
                 dtype=self.dtype, name="UpBlockMF_3",
@@ -544,6 +549,7 @@ class MedFormer(nn.Module):
                 1, -1,
             )
         else:
+            out, sem = up(6, out, x1, sem, None, False)
             out, sem = up(7, out, x0, sem, None, False)
             logits = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
                              param_dtype=jnp.float32, name="outc")(out)

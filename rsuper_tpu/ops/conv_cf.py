@@ -162,10 +162,32 @@ def _prep_w(w):
     return w.reshape(kd, kh, co, kw * ci)
 
 
+# input-channel chunk ceiling: at C_in = 96 (the decoder's concat input) the
+# per-program working set — three (C_in, H·W) halo rows, the (3·C_in, H·W)
+# patch and the f32 accumulator — blows the ~16 MB VMEM budget (observed:
+# "scoped allocation 20.05M ... exceeded scoped vmem limit" on v5e at 96³).
+# Splitting the contraction into ≤64-channel chunks summed in XLA keeps every
+# call comfortably inside VMEM at identical math and negligible extra traffic.
+_CI_CHUNK = 64
+
+
+def _ci_chunks(Ci: int):
+    n = -(-Ci // _CI_CHUNK)
+    size = -(-Ci // n)
+    return [(s, min(size, Ci - s)) for s in range(0, Ci, size)]
+
+
 def _conv3_cf_pallas(x, w, interpret=False):
     B, Ci, D, H, W = x.shape
     Co = w.shape[-1]
     S = H * W
+    if Ci > _CI_CHUNK:
+        out = None
+        for s, n in _ci_chunks(Ci):
+            part = _conv3_cf_pallas(x[:, s : s + n], w[:, :, :, s : s + n],
+                                    interpret)
+            out = part if out is None else out + part
+        return out
     xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B, D, Ci, S)
     w_prep = _prep_w(w).astype(x.dtype)
     out = pl.pallas_call(
@@ -183,6 +205,12 @@ def _conv3_cf_pallas(x, w, interpret=False):
 def _wgrad_pallas(x, dy, Co, interpret=False):
     B, Ci, D, H, W = x.shape
     S = H * W
+    if Ci > _CI_CHUNK:
+        return jnp.concatenate(
+            [_wgrad_pallas(x[:, s : s + n], dy, Co, interpret)
+             for s, n in _ci_chunks(Ci)],
+            axis=3,
+        )
     xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B, D, Ci, S)
     dyf = jnp.transpose(dy, (0, 2, 1, 3, 4)).reshape(B, D, Co, S)
     dw = pl.pallas_call(
