@@ -83,58 +83,90 @@ def _make_patch(rows, kd, kh, W):
     return jnp.concatenate([_shift_w(xk, kw, W) for kw in range(3)], axis=0)
 
 
-def _fwd_kernel(W: int, xp_ref, xm_ref, xn_ref, w_ref, y_ref):
-    """One (batch, depth-row) program: y[co, s] = Σ_{kd,kh} W[kd,kh] @ patch."""
-    d = pl.program_id(1)
-    nd = pl.num_programs(1)
-    xp, xm, xn = _row(xp_ref), _row(xm_ref), _row(xn_ref)
-    rows = [
-        jnp.where(d == 0, jnp.zeros_like(xp), xp),
-        xm,
-        jnp.where(d == nd - 1, jnp.zeros_like(xn), xn),
+def _rows_and_valids(xp_ref, xm_ref, xn_ref, axis=1):
+    """The three depth rows plus 0/1 validity scalars for the clamped edge
+    halos. Contributions are scaled AFTER the dot instead of zeroing row
+    copies up front — at 128³ (S = 16384 lanes) the two masked-row buffers
+    alone were the difference between fitting and blowing scoped VMEM."""
+    d = pl.program_id(axis)
+    nd = pl.num_programs(axis)
+    rows = [_row(xp_ref), _row(xm_ref), _row(xn_ref)]
+    one = jnp.float32(1.0)
+    valids = [
+        jnp.where(d == 0, 0.0, one),
+        one,
+        jnp.where(d == nd - 1, 0.0, one),
     ]
+    return rows, valids
+
+
+def _fwd_kernel(W: int, concat_kw: bool, xp_ref, xm_ref, xn_ref, w_ref, y_ref):
+    """One (batch, depth-row) program: y[co, s] = Σ_{kd,kh} W[kd,kh] @ patch.
+
+    `concat_kw` picks the dot shape: kw-stacked K = 3·C_in dots (best MXU
+    utilisation) when the (3·C_in, S) patch fits VMEM, else 27 per-tap
+    K = C_in dots (no patch buffer — needed at 128³ where S = 16384 lanes
+    blows the scoped-vmem budget)."""
+    rows, valids = _rows_and_valids(xp_ref, xm_ref, xn_ref)
+    Ci = rows[0].shape[0]
     acc = None
     for kd in range(3):
         for kh in range(3):
-            patch = _make_patch(rows, kd, kh, W)
-            part = jax.lax.dot_general(
-                w_ref[kd, kh],
-                patch,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = part if acc is None else acc + part
+            if concat_kw:
+                patch = _make_patch(rows, kd, kh, W)
+                part = jax.lax.dot_general(
+                    w_ref[kd, kh],
+                    patch,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * valids[kd]
+                acc = part if acc is None else acc + part
+            else:
+                xkh = _shift_h(rows[kd], kh, W)
+                for kw in range(3):
+                    part = jax.lax.dot_general(
+                        w_ref[kd, kh, :, kw * Ci : (kw + 1) * Ci],
+                        _shift_w(xkh, kw, W),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * valids[kd]
+                    acc = part if acc is None else acc + part
     y_ref[0, 0] = acc.astype(y_ref.dtype)
 
 
-def _wgrad_kernel(W: int, xp_ref, xm_ref, xn_ref, dy_ref, dw_ref):
+def _wgrad_kernel(W: int, concat_kw: bool, xp_ref, xm_ref, xn_ref, dy_ref, dw_ref):
     """Accumulate dw[kd, kh, co, 3·ci] += dy ⋅ patchᵀ over the sequential
-    grid (same patch construction as the forward)."""
+    grid (same patch construction / mode switch as the forward)."""
     b = pl.program_id(0)
-    d = pl.program_id(1)
-    nd = pl.num_programs(1)
-    xp, xm, xn = _row(xp_ref), _row(xm_ref), _row(xn_ref)
-    rows = [
-        jnp.where(d == 0, jnp.zeros_like(xp), xp),
-        xm,
-        jnp.where(d == nd - 1, jnp.zeros_like(xn), xn),
-    ]
+    rows, valids = _rows_and_valids(xp_ref, xm_ref, xn_ref)
+    Ci = rows[0].shape[0]
     dy = _row(dy_ref)  # (Co, S)
 
-    @pl.when((b == 0) & (d == 0))
+    @pl.when((b == 0) & (pl.program_id(1) == 0))
     def _init():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
     for kd in range(3):
         for kh in range(3):
-            patch = _make_patch(rows, kd, kh, W)
-            part = jax.lax.dot_general(
-                dy,
-                patch,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (Co, 3·Ci)
-            dw_ref[kd, kh] += part
+            if concat_kw:
+                patch = _make_patch(rows, kd, kh, W)
+                part = jax.lax.dot_general(
+                    dy,
+                    patch,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (Co, 3·Ci)
+                dw_ref[kd, kh] += part * valids[kd]
+            else:
+                xkh = _shift_h(rows[kd], kh, W)
+                for kw in range(3):
+                    part = jax.lax.dot_general(
+                        dy,
+                        _shift_w(xkh, kw, W),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (Co, Ci)
+                    dw_ref[kd, kh, :, kw * Ci : (kw + 1) * Ci] += part * valids[kd]
 
 
 def _halo_specs(Ci, D, S):
@@ -169,6 +201,10 @@ def _prep_w(w):
 # Splitting the contraction into ≤64-channel chunks summed in XLA keeps every
 # call comfortably inside VMEM at identical math and negligible extra traffic.
 _CI_CHUNK = 64
+# kw-concat patches cost an extra (3·C_in, S) VMEM buffer; above this S·C_in
+# budget use per-tap dots (observed scoped-vmem OOM at 128³ / S = 16384 even
+# at C_in = 32; every 96³ shape stays in concat mode)
+_CONCAT_BUDGET = 450_000
 
 
 def _ci_chunks(Ci: int):
@@ -190,8 +226,9 @@ def _conv3_cf_pallas(x, w, interpret=False):
         return out
     xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B, D, Ci, S)
     w_prep = _prep_w(w).astype(x.dtype)
+    concat_kw = S * Ci <= _CONCAT_BUDGET
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, W),
+        functools.partial(_fwd_kernel, W, concat_kw),
         grid=(B, D),
         in_specs=_halo_specs(Ci, D, S)
         + [pl.BlockSpec((3, 3, Co, 3 * Ci), lambda b, d: (0, 0, 0, 0))],
@@ -213,8 +250,9 @@ def _wgrad_pallas(x, dy, Co, interpret=False):
         )
     xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B, D, Ci, S)
     dyf = jnp.transpose(dy, (0, 2, 1, 3, 4)).reshape(B, D, Co, S)
+    concat_kw = S * max(Ci, Co) <= _CONCAT_BUDGET
     dw = pl.pallas_call(
-        functools.partial(_wgrad_kernel, W),
+        functools.partial(_wgrad_kernel, W, concat_kw),
         grid=(B, D),
         in_specs=_halo_specs(Ci, D, S)
         + [pl.BlockSpec((1, 1, Co, S), lambda b, d: (b, d, 0, 0))],

@@ -365,6 +365,33 @@ class TestConvCF:
         np.testing.assert_allclose(gx_p, gx_x, rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(gw_p, gw_x, rtol=1e-4, atol=1e-2)
 
+    def test_pallas_per_tap_mode_matches_flax(self, monkeypatch):
+        """Large planes (128³) switch to 27 per-tap dots without the kw-concat
+        patch buffer; force the mode via the budget and check both fwd+grads."""
+        import jax
+
+        from rsuper_tpu.ops import conv_cf
+
+        monkeypatch.setattr(conv_cf, "_CONCAT_BUDGET", 0)
+        x_cl, w = self._setup(B=1, C=4, Co=6, S=(4, 6, 8), seed=3)
+        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        got = jnp.moveaxis(
+            conv_cf.conv3x3x3_cf(x_cf, w, force_pallas=True, interpret=True),
+            1, -1,
+        )
+        np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-4)
+
+        def f(mode):
+            def g(x, w):
+                y = conv_cf.conv3x3x3_cf(x, w, force_pallas=mode, interpret=mode)
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+            return g
+
+        gx_p, gw_p = jax.grad(f(True), argnums=(0, 1))(x_cf, w)
+        gx_x, gw_x = jax.grad(f(False), argnums=(0, 1))(x_cf, w)
+        np.testing.assert_allclose(gx_p, gx_x, rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(gw_p, gw_x, rtol=1e-4, atol=1e-2)
+
     def test_pallas_gradients_match_xla(self):
         import jax
 
