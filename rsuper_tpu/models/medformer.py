@@ -451,6 +451,11 @@ class MedFormer(nn.Module):
             and tn[7] == 0
             and self.kernel_size[0] == 3
             and x.shape[1] % 2 == 0
+            # the Pallas kernel holds whole (C, H·W) planes in VMEM; beyond
+            # ~96² in-plane voxels even the per-tap mode blows the ~16 MB
+            # scoped budget (measured at 128³ on v5e) — fall back to the
+            # channels-last path there (H-tiled kernels: docs/roadmap.md)
+            and x.shape[2] * x.shape[3] <= 96 * 96
         )
 
         # conv stem

@@ -122,10 +122,14 @@ def _fwd_kernel(W: int, concat_kw: bool, xp_ref, xm_ref, xn_ref, w_ref, y_ref):
                 ) * valids[kd]
                 acc = part if acc is None else acc + part
             else:
-                xkh = _shift_h(rows[kd], kh, W)
+                # explicit f32 casts: Mosaic mis-lowers small-K bf16 dots into
+                # an invalid bf16->f32 vector.broadcast (seen at 128³ on v5e)
+                xkh = _shift_h(rows[kd], kh, W).astype(jnp.float32)
                 for kw in range(3):
                     part = jax.lax.dot_general(
-                        w_ref[kd, kh, :, kw * Ci : (kw + 1) * Ci],
+                        w_ref[kd, kh, :, kw * Ci : (kw + 1) * Ci].astype(
+                            jnp.float32
+                        ),
                         _shift_w(xkh, kw, W),
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -158,10 +162,11 @@ def _wgrad_kernel(W: int, concat_kw: bool, xp_ref, xm_ref, xn_ref, dy_ref, dw_re
                 )  # (Co, 3·Ci)
                 dw_ref[kd, kh] += part * valids[kd]
             else:
-                xkh = _shift_h(rows[kd], kh, W)
+                xkh = _shift_h(rows[kd], kh, W).astype(jnp.float32)
+                dy32 = dy.astype(jnp.float32)
                 for kw in range(3):
                     part = jax.lax.dot_general(
-                        dy,
+                        dy32,
                         _shift_w(xkh, kw, W),
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,

@@ -49,7 +49,8 @@ def _ellipsoid(shape, center, radii):
     return d <= 1.0
 
 
-def make_phantom(seed: int, with_tumor_prob: float = 0.8):
+def make_phantom(seed: int, with_tumor_prob: float = 0.8,
+                 contrast_range=(0.5, 1.6), radius_range=(3.0, 6.5)):
     """One phantom: returns (image, organ(3 thirds), lesion, tumor_rows)."""
     rng = np.random.default_rng(seed)
     img = rng.normal(scale=1.0, size=(SIZE, SIZE, SIZE)).astype(np.float32) * 0.3
@@ -70,9 +71,9 @@ def make_phantom(seed: int, with_tumor_prob: float = 0.8):
     if rng.random() < with_tumor_prob:
         n_tumors = int(rng.integers(1, 3))
         # per-case appearance shift: mask cases can't cover the range
-        contrast = float(rng.uniform(0.5, 1.6))
+        contrast = float(rng.uniform(*contrast_range))
         for _ in range(n_tumors):
-            r = float(rng.uniform(3.0, 6.5))
+            r = float(rng.uniform(*radius_range))
             # place inside the organ
             for _ in range(50):
                 c = center + rng.uniform(-0.55, 0.55, 3) * radii
@@ -108,7 +109,8 @@ def _save_npz(path, image, channels):
                         num_classes=len(channels))
 
 
-def generate(root: str, n_mask: int, n_report: int, n_test: int, seed: int = 0):
+def generate(root: str, n_mask: int, n_report: int, n_test: int, seed: int = 0,
+             contrast_range=(0.5, 1.6), radius_range=(3.0, 6.5)):
     import pandas as pd
 
     mask_dir = os.path.join(root, "masks_npz")
@@ -122,14 +124,16 @@ def generate(root: str, n_mask: int, n_report: int, n_test: int, seed: int = 0):
 
     all_rows = []
     k = 0
+    mk = lambda sd: make_phantom(sd, contrast_range=contrast_range,
+                                 radius_range=radius_range)
     for i in range(n_mask):
-        img, (h, b, t), lesion, _ = make_phantom(seed + k); k += 1
+        img, (h, b, t), lesion, _ = mk(seed + k); k += 1
         organ = h | b | t
         _save_npz(os.path.join(mask_dir, f"BDMAP_M{i:03d}.npz"), img,
                   [~(organ | lesion), organ & ~lesion, lesion])
     for i in range(n_report):
         cid = f"BDMAP_R{i:03d}"
-        img, (h, b, t), lesion, rows = make_phantom(seed + k); k += 1
+        img, (h, b, t), lesion, rows = mk(seed + k); k += 1
         organ = h | b | t
         _save_npz(os.path.join(rep_dir, f"{cid}.npz"), img,
                   [~organ, b, h, t])
@@ -138,7 +142,7 @@ def generate(root: str, n_mask: int, n_report: int, n_test: int, seed: int = 0):
     gt = []
     for i in range(n_test):
         cid = f"BDMAP_T{i:03d}"
-        img, (h, b, t), lesion, rows = make_phantom(seed + 10_000 + k); k += 1
+        img, (h, b, t), lesion, rows = mk(seed + 10_000 + k); k += 1
         organ = h | b | t
         _save_npz(os.path.join(test_dir, f"{cid}.npz"), img,
                   [~(organ | lesion), organ & ~lesion, lesion])
@@ -261,6 +265,10 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=240)
     p.add_argument("--crop", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--contrast", type=float, nargs=2, default=(0.5, 1.6),
+                   help="per-case tumor contrast range (lower = harder)")
+    p.add_argument("--radius", type=float, nargs=2, default=(3.0, 6.5),
+                   help="tumor radius range in mm")
     args = p.parse_args(argv)
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -270,7 +278,8 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     print("[phantom] generating dataset ...", flush=True)
-    generate(args.out, args.n_mask, args.n_report, args.n_test, seed=args.seed)
+    generate(args.out, args.n_mask, args.n_report, args.n_test, seed=args.seed,
+             contrast_range=tuple(args.contrast), radius_range=tuple(args.radius))
 
     results = {}
     for with_reports in (False, True):
