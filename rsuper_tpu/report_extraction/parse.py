@@ -51,6 +51,42 @@ def _normalize_size(raw: str) -> str:
     return " x ".join(f"{n:g}" for n in nums) if len(nums) > 1 else f"{nums[0]:g}"
 
 
+def _strip_think(answer: str) -> str:
+    return answer.split("</think>")[-1] if "</think>" in answer else answer
+
+
+def _yes_no_u(pattern: str, text: str):
+    """1/0/None from a 'X = yes/no/u'-style answer (reference ``get_value``
+    non-size mode, RadGPT.py:1355-1360)."""
+    m = re.findall(pattern, text.lower())
+    if not m:
+        return None
+    if "yes" in m[0]:
+        return 1
+    if "no" in m[0]:
+        return 0
+    return None
+
+
+def parse_tumor_detection(answer: str) -> Dict[str, object]:
+    """The reference's 'tumor detection' step: per-organ presence flags
+    (``interpret_output``, RadGPT.py:1452-1459)."""
+    text = _strip_think(answer)
+    out = {}
+    for organ, key in (("liver", "Liver Tumor"), ("kidney", "Kidney Tumor"),
+                       ("pancreas", "Pancreas Tumor")):
+        pat = rf"{organ} tumor presence\s*[=:]\s*.*?(?:;|$|,|/|yes|no|u)"
+        out[key] = _yes_no_u(pat, text)
+    return out
+
+
+def parse_malignancy(answer: str, organ: str = "liver") -> Dict[str, object]:
+    """The reference's 'malignancy detection' step (RadGPT.py:1472-1474)."""
+    text = _strip_think(answer)
+    pat = rf"malignant tumor in {organ}\s*[=:]\s*.*?(?:;|$|,|/|yes|no|u)"
+    return {f"Malignant Tumor in {organ}": _yes_no_u(pat, text)}
+
+
 def parse_lesion_answer(answer: str) -> List[Dict[str, str]]:
     """LLM answer → list of lesion dicts; [] plus the no-lesion sentinel for
     healthy reports."""

@@ -32,3 +32,29 @@ No lesions mentioned.
 """
 
 LESION_EXTRACTION_USER = "CT report:\n{report}\n\nList the lesions now."
+
+
+# the reference's 'tumor detection' step (RadGPT.py get_instuctions /
+# interpret_output :1452-1459): per-organ yes/no/u presence flags
+TUMOR_DETECTION_SYSTEM = """You are a careful radiology-report analyst.
+Read the CT report and decide, for each organ below, whether it contains a
+tumor (any lesion, cyst, mass, metastasis or nodule the report affirms).
+Answer in EXACTLY this format, one line each, with yes, no or u (unclear):
+liver tumor presence = <yes/no/u>;
+kidney tumor presence = <yes/no/u>;
+pancreas tumor presence = <yes/no/u>;
+"""
+
+TUMOR_DETECTION_USER = "CT report:\n{report}\n\nAnswer now."
+
+
+# the reference's 'malignancy detection' step (:1472-1474)
+MALIGNANCY_SYSTEM = """You are a careful radiology-report analyst.
+Read the CT report and decide whether it affirms a MALIGNANT tumor in the
+{organ}. Malignant means cancer (e.g. PDAC, adenocarcinoma, RCC, HCC,
+metastasis, lymphoma) — not cysts or clearly benign findings.
+Answer in EXACTLY this format:
+malignant tumor in {organ} = <yes/no/u>;
+"""
+
+MALIGNANCY_USER = "CT report:\n{report}\n\nAnswer now."

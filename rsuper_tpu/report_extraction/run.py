@@ -22,8 +22,24 @@ import pandas as pd
 
 from .client import LLMClient
 from .metadata import build_per_ct_csv, build_per_tumor_csv
-from .parse import parse_lesion_answer
-from .prompts import LESION_EXTRACTION_SYSTEM, LESION_EXTRACTION_USER
+from .parse import parse_lesion_answer, parse_malignancy, parse_tumor_detection
+from .prompts import (
+    LESION_EXTRACTION_SYSTEM,
+    LESION_EXTRACTION_USER,
+    MALIGNANCY_SYSTEM,
+    MALIGNANCY_USER,
+    TUMOR_DETECTION_SYSTEM,
+    TUMOR_DETECTION_USER,
+)
+
+# extraction steps mirrored from the reference's RadGPT prompt library
+# (``get_instuctions``): 'type and size multi-organ' is the R-Super training
+# step; detection/malignancy are the screening steps used for eval cohorts
+STEPS = {
+    "type_and_size": (LESION_EXTRACTION_SYSTEM, LESION_EXTRACTION_USER),
+    "tumor_detection": (TUMOR_DETECTION_SYSTEM, TUMOR_DETECTION_USER),
+    "malignancy": (MALIGNANCY_SYSTEM, MALIGNANCY_USER),
+}
 
 
 def run_extraction(
@@ -35,9 +51,13 @@ def run_extraction(
     parts: int = 1,
     part: int = 0,
     batch: int = 8,
+    step: str = "type_and_size",
+    organ: str = "liver",
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
     raw_path = os.path.join(out_dir, f"raw_answers_part{part}.jsonl")
+    system, user = STEPS[step]
+    system = system.replace("{organ}", organ)
 
     df = pd.read_csv(reports_csv)
     if "BDMAP ID" in df.columns:
@@ -58,18 +78,16 @@ def run_extraction(
     texts = todo[report_column].astype(str).tolist()
     for i in range(0, len(ids), batch):
         chunk_ids = ids[i : i + batch]
-        prompts = [LESION_EXTRACTION_USER.format(report=t)
-                   for t in texts[i : i + batch]]
-        answers = client.chat_batch(LESION_EXTRACTION_SYSTEM, prompts)
+        prompts = [user.format(report=t) for t in texts[i : i + batch]]
+        answers = client.chat_batch(system, prompts)
         with open(raw_path, "a") as f:
             for cid, ans in zip(chunk_ids, answers):
                 if ans is not None:
                     f.write(json.dumps({"id": cid, "answer": ans}) + "\n")
 
 
-def postprocess_answers(out_dir: str) -> None:
-    """Raw answers (all parts) → per-tumor + per-CT CSVs; keeps the LAST
-    answer per id (reference ``postprocess.py:7`` keep_last_answer)."""
+def _collect_answers(out_dir: str) -> Dict[str, str]:
+    """Last answer per id across all parts (reference ``postprocess.py:7``)."""
     answers: Dict[str, str] = {}
     for name in sorted(os.listdir(out_dir)):
         if not name.startswith("raw_answers"):
@@ -81,6 +99,26 @@ def postprocess_answers(out_dir: str) -> None:
                     answers[rec["id"]] = rec["answer"]
                 except Exception:
                     continue
+    return answers
+
+
+def postprocess_answers(out_dir: str, step: str = "type_and_size",
+                        organ: str = "liver") -> None:
+    """Raw answers (all parts) → CSVs. `type_and_size` emits the per-tumor +
+    per-CT training/eval CSVs; the screening steps emit one flags CSV."""
+    answers = _collect_answers(out_dir)
+    if step == "tumor_detection":
+        rows = [{"BDMAP_ID": cid, **parse_tumor_detection(ans)}
+                for cid, ans in answers.items()]
+        pd.DataFrame(rows).to_csv(
+            os.path.join(out_dir, "tumor_detection.csv"), index=False)
+        return
+    if step == "malignancy":
+        rows = [{"BDMAP_ID": cid, **parse_malignancy(ans, organ)}
+                for cid, ans in answers.items()]
+        pd.DataFrame(rows).to_csv(
+            os.path.join(out_dir, f"malignancy_{organ}.csv"), index=False)
+        return
     parsed = {cid: parse_lesion_answer(ans) for cid, ans in answers.items()}
     per_tumor = build_per_tumor_csv(parsed)
     per_tumor.to_csv(os.path.join(out_dir, "per_tumor.csv"), index=False)
@@ -97,14 +135,18 @@ def main(argv=None):
     p.add_argument("--report_column", default="Report Text")
     p.add_argument("--parts", type=int, default=1)
     p.add_argument("--part", type=int, default=0)
+    p.add_argument("--step", default="type_and_size", choices=sorted(STEPS))
+    p.add_argument("--organ", default="liver",
+                   help="target organ for the malignancy step")
     p.add_argument("--postprocess_only", action="store_true")
     args = p.parse_args(argv)
     if not args.postprocess_only:
         client = LLMClient(base_url=args.base_url, model=args.model)
         run_extraction(args.reports, args.out_dir, client,
                        report_column=args.report_column,
-                       parts=args.parts, part=args.part)
-    postprocess_answers(args.out_dir)
+                       parts=args.parts, part=args.part,
+                       step=args.step, organ=args.organ)
+    postprocess_answers(args.out_dir, step=args.step, organ=args.organ)
 
 
 if __name__ == "__main__":

@@ -147,6 +147,35 @@ def test_parse_lesion_answer_reference_formats():
     assert one[0]["size"] == "14"
 
 
+def test_parse_screening_steps(tmp_path):
+    """The reference's screening extraction steps (tumor detection /
+    malignancy, RadGPT.py interpret_output :1452-1474) and their CSV
+    postprocess."""
+    import json as _json
+
+    from rsuper_tpu.report_extraction.parse import (
+        parse_malignancy,
+        parse_tumor_detection,
+    )
+    from rsuper_tpu.report_extraction.run import postprocess_answers
+
+    ans = ("<think>hmm</think>liver tumor presence = yes; "
+           "kidney tumor presence = no;\npancreas tumor presence = u;")
+    det = parse_tumor_detection(ans)
+    assert det == {"Liver Tumor": 1, "Kidney Tumor": 0, "Pancreas Tumor": None}
+    mal = parse_malignancy("malignant tumor in pancreas = yes;", "pancreas")
+    assert mal == {"Malignant Tumor in pancreas": 1}
+    assert parse_malignancy("gibberish", "liver") == {
+        "Malignant Tumor in liver": None}
+
+    with open(tmp_path / "raw_answers_part0.jsonl", "w") as f:
+        f.write(_json.dumps({"id": "BDMAP_A", "answer": ans}) + "\n")
+    postprocess_answers(str(tmp_path), step="tumor_detection")
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "tumor_detection.csv")
+    assert df.iloc[0]["Liver Tumor"] == 1 and df.iloc[0]["Kidney Tumor"] == 0
+
+
 def test_standardize_organ_location():
     assert standardize_organ("Pancreatic") == "pancreas"
     assert standardize_organ("renal") == "kidney"
