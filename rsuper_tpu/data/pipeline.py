@@ -169,10 +169,10 @@ def build_augment_step(
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    try:  # jax>=0.4.35
+    try:  # jax>=0.8
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
-    except ImportError:  # pragma: no cover
-        from jax.shard_map import shard_map
 
     def local_augment(batch, keys):
         return _augment_items(batch, keys, crop_size, affine_prob, scale,
