@@ -242,16 +242,35 @@ class DownBlockMF(nn.Module):
     norm: str = "in"
     act: str = "relu"
     map_generate: bool = False
+    # run the conv blocks channel-first through the Pallas conv (the 48³
+    # stage pays a 2x lane-padding tax channels-last); transposed back before
+    # the attention layers. Parameter tree unchanged.
+    cf_convs: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = PatchMerging(self.out_dim, self.down_scale, self.proj_type,
                          self.kernel_size, dtype=self.dtype)(x)
-        Block = BLOCKS[self.conv_block]
-        for _ in range(self.conv_num):
-            x = Block(self.out_dim, kernel_size=self.kernel_size,
-                      norm=self.norm, act=self.act, dtype=self.dtype)(x)
+        use_cf = (
+            self.cf_convs
+            and self.conv_num > 0
+            and self.conv_block == "BasicBlock"
+            and self.norm == "in"
+            and self.kernel_size == 3
+            and x.shape[2] * x.shape[3] <= 96 * 96  # (C, H·W) plane in VMEM
+        )
+        if use_cf:
+            xc = jnp.moveaxis(x, -1, 1)
+            for i in range(self.conv_num):
+                xc = BasicBlockCF(self.out_dim, norm=self.norm, act=self.act,
+                                  dtype=self.dtype, name=f"BasicBlock_{i}")(xc)
+            x = jnp.moveaxis(xc, 1, -1)
+        else:
+            Block = BLOCKS[self.conv_block]
+            for _ in range(self.conv_num):
+                x = Block(self.out_dim, kernel_size=self.kernel_size,
+                          norm=self.norm, act=self.act, dtype=self.dtype)(x)
         sem = None
         if self.map_generate:
             sem = SemanticMapGeneration(self.out_dim, self.map_size,
@@ -480,7 +499,13 @@ class MedFormer(nn.Module):
                 map_size=self.map_size, proj_type=self.proj_type,
                 kernel_size=self.kernel_size[min(i + 1, 4)],
                 conv_block=self.conv_block, norm=self.norm, act=self.act,
-                map_generate=map_generate, dtype=self.dtype,
+                # cf_convs measured SLOWER for down(0) at 96³ input (7.31 vs
+                # 8.64 patches/s): 48³ depth-rows are too small per grid step
+                # (64×48² = 0.28 MB) for the Pallas pipeline to win over the
+                # 2x-padded channels-last conv. Mechanism kept for larger
+                # planes; off by default.
+                map_generate=map_generate, cf_convs=False,
+                dtype=self.dtype,
             )(inp)
 
         x1, _ = down(0, x0, False)
