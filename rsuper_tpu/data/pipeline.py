@@ -169,10 +169,12 @@ def build_augment_step(
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    try:  # jax>=0.8
+    try:  # jax>=0.8: jax.shard_map, no check_rep kwarg
         from jax import shard_map
+        sm_kwargs = {}
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
+        sm_kwargs = {"check_rep": False}
 
     def local_augment(batch, keys):
         return _augment_items(batch, keys, crop_size, affine_prob, scale,
@@ -183,7 +185,7 @@ def build_augment_step(
         mesh=mesh,
         in_specs=(P("data"), P("data")),
         out_specs=P("data"),
-        check_rep=False,
+        **sm_kwargs,
     )
     data = NamedSharding(mesh, P("data"))
     return jax.jit(sharded, in_shardings=(data, data), out_shardings=data)

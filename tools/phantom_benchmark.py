@@ -166,7 +166,7 @@ def generate(root: str, n_mask: int, n_report: int, n_test: int, seed: int = 0,
 
 # ----------------------------------------------------------------- training
 def train_variant(root: str, with_reports: bool, steps: int, seed: int = 0,
-                  batch: int = 4, crop: int = 32):
+                  batch: int = 4, crop: int = 32, report_weight: float = 0.1):
     """Train a small resunet; returns (model, params) for inference."""
     import jax
     import jax.numpy as jnp
@@ -203,7 +203,10 @@ def train_variant(root: str, with_reports: bool, steps: int, seed: int = 0,
         batch_size=batch, iter_per_epoch=max(1, steps), epochs=1,
         base_lr=2e-3, warmup_epochs=0,
         loss="ball_dice_last",
-        report_volume_loss_basic=1.0 if with_reports else 0.0,
+        # the reference demo trains with report-loss weight 0.1
+        # (Merlin_demo.md:139-181) — full weight lets the weak pseudo-masks
+        # corrupt the strong mask supervision
+        report_volume_loss_basic=report_weight if with_reports else 0.0,
         num_workers=4, val_freq=0, save_every=10_000,
         unique_name=f"phantom_{name}", cp_path=os.path.join(root, "exp"),
         seed=seed,
@@ -283,6 +286,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=240)
     p.add_argument("--crop", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--report_weight", type=float, default=0.1,
+                   help="report-loss weight (reference demo: 0.1)")
     p.add_argument("--contrast", type=float, nargs=2, default=(0.5, 1.6),
                    help="per-case tumor contrast range (lower = harder)")
     p.add_argument("--radius", type=float, nargs=2, default=(3.0, 6.5),
@@ -304,7 +309,8 @@ def main(argv=None):
         name = "report" if with_reports else "mask_only"
         print(f"[phantom] training {name} ({args.steps} steps) ...", flush=True)
         model, params = train_variant(args.out, with_reports, args.steps,
-                                      seed=args.seed, crop=args.crop)
+                                      seed=args.seed, crop=args.crop,
+                                      report_weight=args.report_weight)
         print(f"[phantom] evaluating {name} ...", flush=True)
         results[name] = evaluate(model, params, args.out, crop=args.crop)
         print(name, results[name], flush=True)
