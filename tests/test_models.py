@@ -38,6 +38,7 @@ def test_medformer_shapes_and_aux():
     assert n_params > 1e6
 
 
+@pytest.mark.slow
 def test_medformer_cf_fullres_equivalent():
     """The channel-first full-res execution (Pallas conv layout path) must be
     a pure re-layout: identical parameter tree, same outputs and gradients as
@@ -75,6 +76,7 @@ def test_medformer_cf_fullres_equivalent():
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_medformer_branches():
     _, _, out = _init_and_run(
         "medformer", {"classification_classes": 3, "clip_branch": True, "clip_feats": 16}
@@ -83,6 +85,7 @@ def test_medformer_branches():
     assert out["clip"].shape == (1, 16)
 
 
+@pytest.mark.slow
 def test_medformer_gradients_finite():
     model = get_model("medformer", 2, {}, dtype=jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 32, 1))
@@ -122,6 +125,7 @@ def test_unetr():
     assert out["segmentation"].shape == (1, 32, 32, 32, 5)
 
 
+@pytest.mark.slow
 def test_swin_unetr():
     _, _, out = _init_and_run(
         "swin_unetr", {"feature_size": 12, "num_heads": (2, 2, 2, 2),

@@ -115,6 +115,7 @@ def test_train_step_with_report_losses_runs():
         assert k in metrics and np.isfinite(float(metrics[k])), k
 
 
+@pytest.mark.slow
 def test_clip_pretrain_step():
     """CLIP-only pretraining: symmetric InfoNCE on CT-crop vs report
     embeddings across the data mesh (reference --clip_pretrain path)."""
