@@ -17,15 +17,28 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, save_every: int = 25, max_keep: int = 3):
+    def __init__(self, directory: str, save_every: int = 25, max_keep: int = 3,
+                 synchronous: bool = False):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.save_every = save_every
         self.checkpointer = ocp.StandardCheckpointer()
         self.best_metric = -float("inf")
+        self.synchronous = synchronous
+        import atexit
+
+        # async commits must land before interpreter exit
+        atexit.register(self.wait)
 
     def _path(self, tag: str) -> str:
         return os.path.join(self.directory, tag)
+
+    def wait(self) -> None:
+        """Block until every pending async commit is durable."""
+        try:
+            self.checkpointer.wait_until_finished()
+        except Exception:  # pragma: no cover - atexit after close
+            pass
 
     def _save(self, tag: str, state):
         path = self._path(tag)
@@ -35,10 +48,14 @@ class CheckpointManager:
             "ema_params": state.ema_params,
             "step": state.step,
         }
-        self.checkpointer.save(path, payload, force=True)
-        # StandardCheckpointer commits asynchronously; block so 'latest' is
-        # durable before training proceeds (and before interpreter exit).
+        # wait BEFORE saving (a pending commit to the same tag must finish
+        # first), not after: the commit then overlaps the next epoch's
+        # training (orbax async checkpointing; the reference's torch.save
+        # blocks the loop every epoch)
         self.checkpointer.wait_until_finished()
+        self.checkpointer.save(path, payload, force=True)
+        if self.synchronous:
+            self.checkpointer.wait_until_finished()
 
     def save_epoch(self, state, epoch: int, metric: Optional[float] = None):
         self._save("latest", state)
@@ -50,6 +67,7 @@ class CheckpointManager:
 
     def restore(self, state, tag: str = "latest"):
         """Restore into the structure of `state` (same model/optimizer)."""
+        self.wait()
         path = self._path(tag)
         template = {
             "params": state.params,
@@ -66,6 +84,7 @@ class CheckpointManager:
         )
 
     def has(self, tag: str = "latest") -> bool:
+        self.wait()
         return os.path.exists(self._path(tag))
 
 
