@@ -116,11 +116,14 @@ def main():
     elapsed = time.time() - t0
 
     value = BATCH * iters / elapsed
+    # the A100 baseline was derived at 96³ (BASELINE.md); patch FLOPs scale
+    # with voxel count, so other sizes compare against the scaled figure
+    baseline = BASELINE_PATCHES_PER_SEC * (96.0 / SIZE) ** 3
     print(json.dumps({
         "metric": f"train_patches_per_sec_per_chip_{SIZE}",
         "value": round(value, 3),
         "unit": f"{SIZE}^3 CT patches/s/chip (MedFormer fwd+bwd, full R-Super losses)",
-        "vs_baseline": round(value / BASELINE_PATCHES_PER_SEC, 3),
+        "vs_baseline": round(value / baseline, 3),
     }))
 
 

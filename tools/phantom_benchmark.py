@@ -207,7 +207,10 @@ def train_variant(root: str, with_reports: bool, steps: int, seed: int = 0,
         # (Merlin_demo.md:139-181) — full weight lets the weak pseudo-masks
         # corrupt the strong mask supervision
         report_volume_loss_basic=report_weight if with_reports else 0.0,
-        num_workers=4, val_freq=0, save_every=10_000,
+        # single loader worker: multi-worker prefetch races reorder batches,
+        # and at this scale run-to-run trajectory variance (~0.2 Dice
+        # observed) swamps the effect being measured
+        num_workers=1, val_freq=0, save_every=10_000,
         unique_name=f"phantom_{name}", cp_path=os.path.join(root, "exp"),
         seed=seed,
     ))
