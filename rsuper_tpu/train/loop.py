@@ -225,6 +225,7 @@ def train(
                                 prefix="train/")
             if max_steps is not None and total_steps >= max_steps:
                 ckpt.save_epoch(state, epoch)
+                ckpt.wait()  # async commits must be durable before we return
                 return state
 
         if loss_meter.count == 0 and total_steps > 0:
@@ -262,4 +263,5 @@ def train(
                     timer.summary())
     if tracer is not None:
         tracer.close()
+    ckpt.wait()  # async commits must be durable before we return
     return state
