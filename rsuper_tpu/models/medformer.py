@@ -452,6 +452,10 @@ class MedFormer(nn.Module):
     # layout with the Pallas conv (ops/conv_cf.py) — identical math and
     # parameter tree, ~4x less lane padding at C=base_chan on TPU
     cf_fullres: bool = True
+    # also run the 48³-stage conv blocks (down(0) + up(6)) channel-first —
+    # needs the multi-row depth tiles (conv_cf TD) to amortise the tiny-row
+    # grid overhead that made single-row CF lose there
+    cf_halfres: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -499,12 +503,8 @@ class MedFormer(nn.Module):
                 map_size=self.map_size, proj_type=self.proj_type,
                 kernel_size=self.kernel_size[min(i + 1, 4)],
                 conv_block=self.conv_block, norm=self.norm, act=self.act,
-                # cf_convs measured SLOWER for down(0) at 96³ input (7.31 vs
-                # 8.64 patches/s): 48³ depth-rows are too small per grid step
-                # (64×48² = 0.28 MB) for the Pallas pipeline to win over the
-                # 2x-padded channels-last conv. Mechanism kept for larger
-                # planes; off by default.
-                map_generate=map_generate, cf_convs=False,
+                map_generate=map_generate,
+                cf_convs=self.cf_halfres and i == 0,
                 dtype=self.dtype,
             )(inp)
 
@@ -563,17 +563,19 @@ class MedFormer(nn.Module):
             aux = resize_trilinear(a, x.shape[1:4])
 
         if use_cf:
-            # NOTE: only the FULL-res stage runs channel-first. Extending CF
-            # to up(6) (48³/64ch) was measured SLOWER (8.19 vs 8.57 patches/s
-            # on v5e): its 192-channel concat input needs 3 VMEM chunks whose
-            # halo rows re-read the input 3x, while channels-last at 64
-            # lanes only pays 2x padding.
             UpCF = nn.remat(UpBlockCF) if self.remat else UpBlockCF
-            out, sem = up(6, out, x1, sem, None, False)
+            if self.cf_halfres and tn[6] == 0:
+                out_cf, sem = UpCF(
+                    ch[6], cn[6], norm=self.norm, act=self.act,
+                    dtype=self.dtype, name="UpBlockMF_2",
+                )(jnp.moveaxis(out, -1, 1), jnp.moveaxis(x1, -1, 1), sem, None)
+            else:
+                out, sem = up(6, out, x1, sem, None, False)
+                out_cf = jnp.moveaxis(out, -1, 1)
             out_cf, sem = UpCF(
                 ch[7], cn[7], norm=self.norm, act=self.act,
                 dtype=self.dtype, name="UpBlockMF_3",
-            )(jnp.moveaxis(out, -1, 1), x0_cf, sem, None)
+            )(out_cf, x0_cf, sem, None)
             logits = jnp.moveaxis(
                 CFConv1(self.num_classes, dtype=self.dtype, name="outc")(out_cf),
                 1, -1,

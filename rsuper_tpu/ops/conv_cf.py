@@ -83,112 +83,138 @@ def _make_patch(rows, kd, kh, W):
     return jnp.concatenate([_shift_w(xk, kw, W) for kw in range(3)], axis=0)
 
 
-def _rows_and_valids(xp_ref, xm_ref, xn_ref, axis=1):
-    """The three depth rows plus 0/1 validity scalars for the clamped edge
-    halos. Contributions are scaled AFTER the dot instead of zeroing row
-    copies up front — at 128³ (S = 16384 lanes) the two masked-row buffers
-    alone were the difference between fitting and blowing scoped VMEM."""
-    d = pl.program_id(axis)
-    nd = pl.num_programs(axis)
-    rows = [_row(xp_ref), _row(xm_ref), _row(xn_ref)]
+def _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t: int, TD: int):
+    """Depth taps (d−1, d, d+1) for output row `t` of a TD-row tile, plus 0/1
+    validity scalars for the clamped edge halos. Contributions are scaled
+    AFTER the dot instead of zeroing row copies up front — at 128³
+    (S = 16384 lanes) the masked-row buffers alone were the difference
+    between fitting and blowing scoped VMEM.
+
+    Interior rows (0 < t < TD−1) take all taps from the tile body; only the
+    tile's first/last rows touch the halo refs."""
+    d = pl.program_id(1)
+    nd = pl.num_programs(1)
     one = jnp.float32(1.0)
+    prev = xm_ref[0, t - 1] if t > 0 else _row(xp_ref)
+    nxt = xm_ref[0, t + 1] if t < TD - 1 else _row(xn_ref)
+    rows = [prev, xm_ref[0, t], nxt]
     valids = [
-        jnp.where(d == 0, 0.0, one),
+        jnp.where(d == 0, 0.0, one) if t == 0 else one,
         one,
-        jnp.where(d == nd - 1, 0.0, one),
+        jnp.where(d == nd - 1, 0.0, one) if t == TD - 1 else one,
     ]
     return rows, valids
 
 
-def _fwd_kernel(W: int, concat_kw: bool, xp_ref, xm_ref, xn_ref, w_ref, y_ref):
-    """One (batch, depth-row) program: y[co, s] = Σ_{kd,kh} W[kd,kh] @ patch.
+def _fwd_kernel(W: int, concat_kw: bool, TD: int, xp_ref, xm_ref, xn_ref,
+                w_ref, y_ref):
+    """One (batch, TD-depth-row tile) program: y[co, s] = Σ W[kd,kh] @ patch.
 
     `concat_kw` picks the dot shape: kw-stacked K = 3·C_in dots (best MXU
     utilisation) when the (3·C_in, S) patch fits VMEM, else 27 per-tap
     K = C_in dots (no patch buffer — needed at 128³ where S = 16384 lanes
-    blows the scoped-vmem budget)."""
-    rows, valids = _rows_and_valids(xp_ref, xm_ref, xn_ref)
-    Ci = rows[0].shape[0]
-    acc = None
-    for kd in range(3):
-        for kh in range(3):
-            if concat_kw:
-                patch = _make_patch(rows, kd, kh, W)
-                part = jax.lax.dot_general(
-                    w_ref[kd, kh],
-                    patch,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * valids[kd]
-                acc = part if acc is None else acc + part
-            else:
-                # explicit f32 casts: Mosaic mis-lowers small-K bf16 dots into
-                # an invalid bf16->f32 vector.broadcast (seen at 128³ on v5e)
-                xkh = _shift_h(rows[kd], kh, W).astype(jnp.float32)
-                for kw in range(3):
+    blows the scoped-vmem budget). `TD` rows per grid step amortise grid and
+    halo overhead on small planes (48³ rows are only 0.3 MB)."""
+    Ci = xm_ref.shape[2]
+    for t in range(TD):
+        rows, valids = _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t, TD)
+        acc = None
+        for kd in range(3):
+            for kh in range(3):
+                if concat_kw:
+                    patch = _make_patch(rows, kd, kh, W)
                     part = jax.lax.dot_general(
-                        w_ref[kd, kh, :, kw * Ci : (kw + 1) * Ci].astype(
-                            jnp.float32
-                        ),
-                        _shift_w(xkh, kw, W),
+                        w_ref[kd, kh],
+                        patch,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ) * valids[kd]
                     acc = part if acc is None else acc + part
-    y_ref[0, 0] = acc.astype(y_ref.dtype)
+                else:
+                    # explicit f32 casts: Mosaic mis-lowers small-K bf16 dots
+                    # into an invalid bf16->f32 vector.broadcast (v5e, 128³)
+                    xkh = _shift_h(rows[kd], kh, W).astype(jnp.float32)
+                    for kw in range(3):
+                        part = jax.lax.dot_general(
+                            w_ref[kd, kh, :, kw * Ci : (kw + 1) * Ci].astype(
+                                jnp.float32
+                            ),
+                            _shift_w(xkh, kw, W),
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ) * valids[kd]
+                        acc = part if acc is None else acc + part
+        y_ref[0, t] = acc.astype(y_ref.dtype)
 
 
-def _wgrad_kernel(W: int, concat_kw: bool, xp_ref, xm_ref, xn_ref, dy_ref, dw_ref):
+def _wgrad_kernel(W: int, concat_kw: bool, TD: int, xp_ref, xm_ref, xn_ref,
+                  dy_ref, dw_ref):
     """Accumulate dw[kd, kh, co, 3·ci] += dy ⋅ patchᵀ over the sequential
     grid (same patch construction / mode switch as the forward)."""
     b = pl.program_id(0)
-    rows, valids = _rows_and_valids(xp_ref, xm_ref, xn_ref)
-    Ci = rows[0].shape[0]
-    dy = _row(dy_ref)  # (Co, S)
+    Ci = xm_ref.shape[2]
 
     @pl.when((b == 0) & (pl.program_id(1) == 0))
     def _init():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    for kd in range(3):
-        for kh in range(3):
-            if concat_kw:
-                patch = _make_patch(rows, kd, kh, W)
-                part = jax.lax.dot_general(
-                    dy,
-                    patch,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (Co, 3·Ci)
-                dw_ref[kd, kh] += part * valids[kd]
-            else:
-                xkh = _shift_h(rows[kd], kh, W).astype(jnp.float32)
-                dy32 = dy.astype(jnp.float32)
-                for kw in range(3):
+    for t in range(TD):
+        rows, valids = _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t, TD)
+        dy = dy_ref[0, t]  # (Co, S)
+        for kd in range(3):
+            for kh in range(3):
+                if concat_kw:
+                    patch = _make_patch(rows, kd, kh, W)
                     part = jax.lax.dot_general(
-                        dy32,
-                        _shift_w(xkh, kw, W),
+                        dy,
+                        patch,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # (Co, Ci)
-                    dw_ref[kd, kh, :, kw * Ci : (kw + 1) * Ci] += part * valids[kd]
+                    )  # (Co, 3·Ci)
+                    dw_ref[kd, kh] += part * valids[kd]
+                else:
+                    xkh = _shift_h(rows[kd], kh, W).astype(jnp.float32)
+                    dy32 = dy.astype(jnp.float32)
+                    for kw in range(3):
+                        part = jax.lax.dot_general(
+                            dy32,
+                            _shift_w(xkh, kw, W),
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (Co, Ci)
+                        dw_ref[kd, kh, :, kw * Ci : (kw + 1) * Ci] += (
+                            part * valids[kd]
+                        )
 
 
-def _halo_specs(Ci, D, S):
-    """BlockSpecs for the (prev, main, next) depth-row trio of a
-    (B, D, Ci, S) operand — depth-major so the blocked dim is an OUTER dim
+def _halo_specs(Ci, D, S, TD):
+    """BlockSpecs for the (prev-row, TD-row body, next-row) trio of a
+    (B, D, Ci, S) operand — depth-major so the blocked dims are OUTER dims
     (Pallas requires the last two block dims be (8, 128)-divisible or full);
     edge indices are clamped (the kernel masks their contribution to zero at
     the volume boundaries)."""
     return [
         pl.BlockSpec(
-            (1, 1, Ci, S), lambda b, d: (b, jnp.maximum(d - 1, 0), 0, 0)
+            (1, 1, Ci, S), lambda b, d: (b, jnp.maximum(d * TD - 1, 0), 0, 0)
         ),
-        pl.BlockSpec((1, 1, Ci, S), lambda b, d: (b, d, 0, 0)),
+        pl.BlockSpec((1, TD, Ci, S), lambda b, d: (b, d, 0, 0)),
         pl.BlockSpec(
-            (1, 1, Ci, S), lambda b, d: (b, jnp.minimum(d + 1, D - 1), 0, 0)
+            (1, 1, Ci, S),
+            lambda b, d: (b, jnp.minimum((d + 1) * TD, D - 1), 0, 0),
         ),
     ]
+
+
+def _pick_td(D: int, S: int, Cmax: int, concat_kw: bool, itemsize: int) -> int:
+    """Rows per grid step: amortise grid/halo overhead on small planes while
+    keeping the tile body ≲2.5 MB of VMEM (the pipeline double-buffers it).
+    Per-tap mode (huge planes) stays at 1 row."""
+    if not concat_kw:
+        return 1
+    for td in (8, 4, 2):
+        if D % td == 0 and td * S * Cmax * itemsize <= 2_500_000:
+            return td
+    return 1
 
 
 def _prep_w(w):
@@ -232,12 +258,13 @@ def _conv3_cf_pallas(x, w, interpret=False):
     xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B, D, Ci, S)
     w_prep = _prep_w(w).astype(x.dtype)
     concat_kw = S * Ci <= _CONCAT_BUDGET
+    TD = _pick_td(D, S, max(Ci, Co), concat_kw, x.dtype.itemsize)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, W, concat_kw),
-        grid=(B, D),
-        in_specs=_halo_specs(Ci, D, S)
+        functools.partial(_fwd_kernel, W, concat_kw, TD),
+        grid=(B, D // TD),
+        in_specs=_halo_specs(Ci, D, S, TD)
         + [pl.BlockSpec((3, 3, Co, 3 * Ci), lambda b, d: (0, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, 1, Co, S), lambda b, d: (b, d, 0, 0)),
+        out_specs=pl.BlockSpec((1, TD, Co, S), lambda b, d: (b, d, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, D, Co, S), x.dtype),
         interpret=interpret,
     )(xf, xf, xf, w_prep)
@@ -256,11 +283,12 @@ def _wgrad_pallas(x, dy, Co, interpret=False):
     xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B, D, Ci, S)
     dyf = jnp.transpose(dy, (0, 2, 1, 3, 4)).reshape(B, D, Co, S)
     concat_kw = S * max(Ci, Co) <= _CONCAT_BUDGET
+    TD = _pick_td(D, S, max(Ci, Co), concat_kw, x.dtype.itemsize)
     dw = pl.pallas_call(
-        functools.partial(_wgrad_kernel, W, concat_kw),
-        grid=(B, D),
-        in_specs=_halo_specs(Ci, D, S)
-        + [pl.BlockSpec((1, 1, Co, S), lambda b, d: (b, d, 0, 0))],
+        functools.partial(_wgrad_kernel, W, concat_kw, TD),
+        grid=(B, D // TD),
+        in_specs=_halo_specs(Ci, D, S, TD)
+        + [pl.BlockSpec((1, TD, Co, S), lambda b, d: (b, d, 0, 0))],
         out_specs=pl.BlockSpec((3, 3, Co, 3 * Ci), lambda b, d: (0, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((3, 3, Co, 3 * Ci), jnp.float32),
         interpret=interpret,

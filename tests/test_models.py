@@ -49,7 +49,8 @@ def test_medformer_cf_fullres_equivalent():
             "conv_num": (1, 0, 0, 0, 0, 0, 1, 1), "remat": False}
     m_cl = get_model("medformer", 3, {**args, "cf_fullres": False},
                      dtype=jnp.float32)
-    m_cf = get_model("medformer", 3, {**args, "cf_fullres": True},
+    m_cf = get_model("medformer", 3,
+                     {**args, "cf_fullres": True, "cf_halfres": True},
                      dtype=jnp.float32)
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(1, 16, 16, 16, 1)),
