@@ -64,7 +64,7 @@ def _medformer(args, num_classes, dtype):
         clip_feats=args.get("clip_feats", 768),
         remat=args.get("remat", True),
         cf_fullres=args.get("cf_fullres", True),
-        cf_halfres=args.get("cf_halfres", False),
+        cf_halfres=args.get("cf_halfres", True),
         dtype=dtype,
     )
 

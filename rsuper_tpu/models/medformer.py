@@ -453,9 +453,9 @@ class MedFormer(nn.Module):
     # parameter tree, ~4x less lane padding at C=base_chan on TPU
     cf_fullres: bool = True
     # also run the 48³-stage conv blocks (down(0) + up(6)) channel-first —
-    # needs the multi-row depth tiles (conv_cf TD) to amortise the tiny-row
-    # grid overhead that made single-row CF lose there
-    cf_halfres: bool = False
+    # the multi-row depth tiles (conv_cf TD) amortise the tiny-row grid
+    # overhead that made single-row CF lose there (8.66 → 9.62 patches/s)
+    cf_halfres: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
