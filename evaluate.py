@@ -23,6 +23,9 @@ def main(argv=None):
                    help="pred_dir holds flat nnU-Net BDMAP_*.npz probability "
                         "stacks (reference eval_AUC_nnunet.py layout)")
     args = p.parse_args(argv)
+    from rsuper_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # RSUPER_PLATFORM=cpu -> CPU smoke runs
 
     from rsuper_tpu.eval.detection import detection_table, detection_table_nnunet
     from rsuper_tpu.eval.sens_spec import best_f1, evaluate_detection, load_ground_truth

@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--parts", type=int, default=1)
     p.add_argument("--part", type=int, default=0)
     args = p.parse_args(argv)
+    from rsuper_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # RSUPER_PLATFORM=cpu -> CPU smoke runs
 
     import jax
     import jax.numpy as jnp

@@ -139,39 +139,52 @@ def device_postprocess_packed(
     cuts the device→host transfer 32× vs f32 (16× vs the fp16 path) — the
     dominant predict cost over slow links (docs/perf.md).
     """
-    import jax
+    return _pack_jit(probs, tuple(classes), float(threshold),
+                     int(organ_dilation))
+
+
+def _pack_impl(probs, classes: tuple, thr: float, dil: int):
     import jax.numpy as jnp
-    from functools import partial
 
     from ..ops.morphology import dilate_cube_cf
 
-    classes = tuple(classes)
+    binm = probs > thr  # (D,H,W,C) bool
+    routing = _lesion_routing(classes)
+    gated = []
+    for i in range(len(classes)):
+        m = binm[..., i]
+        organs = routing.get(i, None)
+        if i in routing and organs:  # gate by dilated organ union
+            u = jnp.zeros(probs.shape[:3], jnp.float32)
+            for oi in organs:
+                u = jnp.maximum(u, binm[..., oi].astype(jnp.float32))
+            # iterations of a 3³ cube = one (2·dil+1)³ cube max-window
+            u = dilate_cube_cf(u, 2 * dil + 1)
+            m = m & (u > 0)
+        gated.append(m)
+    out = jnp.stack(gated, axis=-1)
+    words = []
+    for s in range(0, len(classes), 8):
+        chunk = out[..., s : s + 8].astype(jnp.uint32)
+        pows = 2 ** jnp.arange(chunk.shape[-1], dtype=jnp.uint32)
+        words.append(jnp.sum(chunk * pows, axis=-1, dtype=jnp.uint32))
+    return jnp.stack(words, axis=-1).astype(jnp.uint8)
 
-    @partial(jax.jit, static_argnames=("thr", "dil"))
-    def _pack(probs, thr: float, dil: int):
-        binm = probs > thr  # (D,H,W,C) bool
-        routing = _lesion_routing(classes)
-        gated = []
-        for i in range(len(classes)):
-            m = binm[..., i]
-            organs = routing.get(i, None)
-            if i in routing and organs:  # gate by dilated organ union
-                u = jnp.zeros(probs.shape[:3], jnp.float32)
-                for oi in organs:
-                    u = jnp.maximum(u, binm[..., oi].astype(jnp.float32))
-                # iterations of a 3³ cube = one (2·dil+1)³ cube max-window
-                u = dilate_cube_cf(u, 2 * dil + 1)
-                m = m & (u > 0)
-            gated.append(m)
-        out = jnp.stack(gated, axis=-1)
-        words = []
-        for s in range(0, len(classes), 8):
-            chunk = out[..., s : s + 8].astype(jnp.uint32)
-            pows = 2 ** jnp.arange(chunk.shape[-1], dtype=jnp.uint32)
-            words.append(jnp.sum(chunk * pows, axis=-1, dtype=jnp.uint32))
-        return jnp.stack(words, axis=-1).astype(jnp.uint8)
 
-    return _pack(probs, float(threshold), int(organ_dilation))
+def _pack_jit(probs, classes: tuple, thr: float, dil: int):
+    # module-level memoized jit (classes/thr/dil static): a closure defined
+    # per call would miss jax's jit cache and retrace every volume/Z-chunk —
+    # minutes per retrace over the remote-TPU compile link
+    global _PACK_FN
+    if _PACK_FN is None:
+        import jax
+
+        _PACK_FN = jax.jit(_pack_impl,
+                           static_argnames=("classes", "thr", "dil"))
+    return _PACK_FN(probs, classes, thr, dil)
+
+
+_PACK_FN = None
 
 
 def unpack_masks(packed: np.ndarray, classes: Sequence[str]) -> Dict[str, np.ndarray]:

@@ -88,12 +88,13 @@ def collect_cases(
         # de-dup while keeping order (listdir may carry non-nii entries)
         seen = set()
         ids = [i for i in ids if not (i in seen or seen.add(i))]
+        # keep input/output pairing aligned: drop ids whose input file is
+        # missing (stray subdirs, csvs) from BOTH lists, not by truncation
+        if os.path.isdir(pth):
+            ids = [i for i in ids
+                   if os.path.exists(os.path.join(pth, f"{i}.nii.gz"))]
         files_input = [[os.path.join(pth, f"{i}.nii.gz")] for i in ids]
         files_output = [os.path.join(outdir, i) for i in ids]
-        files_input = [
-            f for f in files_input if os.path.exists(f[0])
-        ] if os.path.isdir(pth) else files_input
-        files_output = files_output[: len(files_input)]
     return files_input, files_output
 
 

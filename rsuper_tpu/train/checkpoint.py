@@ -9,11 +9,25 @@ one atomic orbax checkpoint.
 
 from __future__ import annotations
 
+import atexit
 import os
+import weakref
 from typing import Optional
 
 import jax
 import orbax.checkpoint as ocp
+
+# async commits must land before interpreter exit; a single module-level
+# atexit hook over a WeakSet avoids pinning every manager (and its orbax
+# thread resources) for the process lifetime (one registration per instance
+# would accumulate across long sessions / test runs)
+_LIVE_MANAGERS: "weakref.WeakSet[CheckpointManager]" = weakref.WeakSet()
+
+
+@atexit.register
+def _drain_pending_commits() -> None:
+    for mgr in list(_LIVE_MANAGERS):
+        mgr.wait()
 
 
 class CheckpointManager:
@@ -25,10 +39,7 @@ class CheckpointManager:
         self.checkpointer = ocp.StandardCheckpointer()
         self.best_metric = -float("inf")
         self.synchronous = synchronous
-        import atexit
-
-        # async commits must land before interpreter exit
-        atexit.register(self.wait)
+        _LIVE_MANAGERS.add(self)
 
     def _path(self, tag: str) -> str:
         return os.path.join(self.directory, tag)

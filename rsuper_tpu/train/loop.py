@@ -134,6 +134,14 @@ def train(
         # negatives must not be separable by organ; reference sampler_clip)
         from ..data.sampler import OrganBatchSampler
 
+        # a loader batch must map to exactly one shard-slice of one global
+        # organ batch — with extra data shards on a single process the
+        # local_bs-sized loader batch would span several global steps and
+        # mix organs, silently breaking the sampler's homogeneity contract
+        assert num_shards == n_proc, (
+            "clip_pretrain requires data_shards == process_count "
+            f"(got {num_shards} shards over {n_proc} processes)"
+        )
         osampler = OrganBatchSampler(
             dataset.crop_organs(), cfg.batch_size, seed=cfg.seed,
             shard=shard, num_shards=num_shards,

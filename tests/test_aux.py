@@ -1,5 +1,7 @@
 """Baselines, organ-mask utilities, and report-extraction tests."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -325,8 +327,15 @@ def test_predict_suborgans_sharding(tmp_path):
     out = tmp_path / "preds"; out.mkdir()
     for i in range(5):
         (src / f"BDMAP_{i}.nii.gz").write_bytes(b"x")
+    # stray entries that sort before valid ids (a subdir, a csv) must drop
+    # from BOTH lists — truncating outputs misaligned every input/output pair
+    (src / "AAA_straydir").mkdir()
+    (src / "AAA_meta.csv").write_bytes(b"z")
     fi, fo = collect_cases(str(src), str(out))
-    assert len(fi) == 5 and fi[0] == [str(src / "BDMAP_0.nii.gz")]
+    assert len(fi) == len(fo) == 5
+    assert fi[0] == [str(src / "BDMAP_0.nii.gz")]
+    for f, o in zip(fi, fo):
+        assert os.path.basename(f[0]).startswith(os.path.basename(o))
     # resume: existing outputs are skipped
     (out / "BDMAP_1.nii.gz").write_bytes(b"y")
     fi2, fo2 = filter_existing_outputs(fi, fo)

@@ -86,6 +86,9 @@ def load_classes(root):
 
 def main(argv=None):
     args = parse_args(argv)
+    from rsuper_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # RSUPER_PLATFORM=cpu → CPU smoke runs
     if args.dist_coordinator:
         # must run before anything touches the jax backend
         from rsuper_tpu.parallel.multihost import init_distributed
