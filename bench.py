@@ -42,7 +42,97 @@ CLASSES = [
 ]
 
 
+def smoke():
+    """Real-lowering gate for the Pallas kernels (VERDICT r2 weak #4).
+
+    Interpret mode cannot catch Mosaic lowering failures (block-shape rules,
+    bf16 dot mis-lowering, scoped-VMEM overflows — CLAUDE.md has the list);
+    this compiles and runs every kernel mode on the REAL backend with tiny
+    shapes and checks numerics against the XLA path. Exits nonzero on any
+    failure so the round workflow can gate on it. Graphs are tiny and land in
+    the persistent compile cache, so re-runs are seconds.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    failures = []
+
+    def check(name, fn):
+        try:
+            fn()
+            print(f"smoke {name}: ok", flush=True)
+        except Exception as e:  # noqa: BLE001 - report every kernel
+            failures.append(name)
+            print(f"smoke {name}: FAIL {type(e).__name__}: {e}", flush=True)
+
+    from rsuper_tpu.ops import conv_cf
+    from rsuper_tpu.ops.pallas_topn import pallas_topn_threshold_multi_batched
+
+    rng = np.random.default_rng(0)
+
+    def conv_case(name, C, Co, S, dtype):
+        x = jnp.asarray(rng.normal(size=(1, C, *S)), dtype)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, C, Co)) * 0.2, jnp.float32)
+
+        def run():
+            def f(x, w):
+                y = conv_cf.conv3x3x3_cf(x, w, force_pallas=True)
+                return jnp.sum(y.astype(jnp.float32) ** 2), y
+
+            (loss, y), (gx, gw) = jax.value_and_grad(
+                f, argnums=(0, 1), has_aux=True
+            )(x, w)
+            ref = conv_cf._conv3_cf_xla(x, w.astype(x.dtype))
+            ref32 = ref.astype(jnp.float32)
+            err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref32)))
+            scale = max(1.0, float(jnp.max(jnp.abs(ref32))))
+            # bf16 tolerance is relative: chunked outputs round to bf16 in
+            # the kernel (~1 ulp ≈ 0.4% each), and values grow with √(27·C)
+            tol = (0.02 if dtype == jnp.bfloat16 else 1e-4) * scale
+            assert err < tol, f"fwd mismatch {err} (scale {scale})"
+            assert np.isfinite(float(loss))
+            assert np.isfinite(float(jnp.sum(gx.astype(jnp.float32))))
+            assert np.isfinite(float(jnp.sum(gw)))
+
+        check(name, run)
+
+    # whole-plane concat mode (the 96³ stages)
+    conv_case("conv_cf_plane_bf16", 8, 8, (8, 32, 32), jnp.bfloat16)
+    # whole-plane per-tap mode (large S·C within plane budget)
+    conv_case("conv_cf_pertap_f32", 64, 64, (4, 96, 96), jnp.float32)
+    # H-tiled mode — the 128³ path (plane > 96², W 128-divisible)
+    conv_case("conv_cf_ht_bf16", 8, 8, (4, 128, 128), jnp.bfloat16)
+    # H-tiled + channel chunking (the decoder's 96-ch concat input at 128³)
+    conv_case("conv_cf_ht_chunked_bf16", 96, 32, (4, 128, 128), jnp.bfloat16)
+
+    def topn():
+        x = jnp.asarray(rng.normal(size=(2, 4096)), jnp.float32)
+        ns = jnp.asarray([[64.0, 16.0], [256.0, 8.0]], jnp.float32)
+        thr = pallas_topn_threshold_multi_batched(x, ns)
+        counts = jnp.sum(
+            x[:, None, :] >= thr[..., None], axis=-1
+        )
+        assert np.allclose(np.asarray(counts), np.asarray(ns), atol=2), counts
+
+    check("pallas_topn_batched", topn)
+
+    if failures:
+        print(json.dumps({"smoke": "fail", "failures": failures}))
+        sys.exit(1)
+    print(json.dumps({"smoke": "ok", "backend": jax.default_backend()}))
+
+
 def main():
+    if "--smoke" in sys.argv:
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ["JAX_COMPILATION_CACHE_DIR"])
+        except Exception:
+            pass
+        smoke()
+        return
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])

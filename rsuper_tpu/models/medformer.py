@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.conv_cf import cf_plane_supported
 from .layers import (
     BLOCKS,
     BasicBlockCF,
@@ -258,7 +259,7 @@ class DownBlockMF(nn.Module):
             and self.conv_block == "BasicBlock"
             and self.norm == "in"
             and self.kernel_size == 3
-            and x.shape[2] * x.shape[3] <= 96 * 96  # (C, H·W) plane in VMEM
+            and cf_plane_supported(x.shape[2], x.shape[3])
         )
         if use_cf:
             xc = jnp.moveaxis(x, -1, 1)
@@ -474,11 +475,10 @@ class MedFormer(nn.Module):
             and tn[7] == 0
             and self.kernel_size[0] == 3
             and x.shape[1] % 2 == 0
-            # the Pallas kernel holds whole (C, H·W) planes in VMEM; beyond
-            # ~96² in-plane voxels even the per-tap mode blows the ~16 MB
-            # scoped budget (measured at 128³ on v5e) — fall back to the
-            # channels-last path there (H-tiled kernels: docs/roadmap.md)
-            and x.shape[2] * x.shape[3] <= 96 * 96
+            # whole planes ≤96² run the whole-plane kernels; larger planes
+            # (e.g. the 128³ headline patch size) use the H-tiled kernels,
+            # which need a 128-divisible W (ops/conv_cf.cf_plane_supported)
+            and cf_plane_supported(x.shape[2], x.shape[3])
         )
 
         # conv stem

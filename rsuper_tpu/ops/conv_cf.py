@@ -187,6 +187,140 @@ def _wgrad_kernel(W: int, concat_kw: bool, TD: int, xp_ref, xm_ref, xn_ref,
                         )
 
 
+def _shift_h_ht(body, hp, hn, k: int, W: int):
+    """kh tap on an H-tiled (C, TH·W) tile: the row shifted in from outside
+    the tile comes from the (C, W) halo refs instead of zero fill. Halos are
+    pre-masked to zero at the volume's h edges by the caller."""
+    if k == 1:
+        return body
+    if k == 0:
+        return jnp.concatenate([hp, body[:, :-W]], axis=1)
+    return jnp.concatenate([body[:, W:], hn], axis=1)
+
+
+def _ht_rows(refs, h, nh):
+    """Unpack the 9 H-tiled data refs into per-depth (body, halo_prev,
+    halo_next) rows with the h-edge halos zeroed. Because the MXU dot
+    contracts only over channels, output lane l depends only on patch lane l
+    — so zeroing the invalid halo LANES (not whole contributions) is exact at
+    the h = 0 / h = H−1 volume edges."""
+    (xp, xm, xn, pp, pm, pn, qp, qm, qn) = refs
+    bodies = [_row(xp), _row(xm), _row(xn)]
+    hps, hns = [], []
+    for ref in (pp, pm, pn):
+        r = _row(ref)
+        hps.append(jnp.where(h == 0, jnp.zeros_like(r), r))
+    for ref in (qp, qm, qn):
+        r = _row(ref)
+        hns.append(jnp.where(h == nh - 1, jnp.zeros_like(r), r))
+    return bodies, hps, hns
+
+
+def _depth_valids(d, nd):
+    one = jnp.float32(1.0)
+    return [jnp.where(d == 0, 0.0, one), one, jnp.where(d == nd - 1, 0.0, one)]
+
+
+def _fwd_kernel_ht(W: int, *args):
+    """One (batch, depth-row, H-tile) program of the H-tiled forward:
+    y[co, l] = Σ_{kd,kh} vd[kd] · W[kd,kh] @ patch[kd,kh][:, l].
+
+    Exists because whole (C, H·W) planes blow the ~16 MB scoped-VMEM budget
+    beyond ~96² in-plane voxels (observed at 128³ on v5e in every whole-plane
+    dot mode) — H-tiles keep the working set at (C, TH·W)."""
+    *refs, w_ref, y_ref = args
+    d, nd = pl.program_id(1), pl.num_programs(1)
+    h, nh = pl.program_id(2), pl.num_programs(2)
+    bodies, hps, hns = _ht_rows(refs, h, nh)
+    valids = _depth_valids(d, nd)
+    acc = None
+    for kd in range(3):
+        for kh in range(3):
+            xkh = _shift_h_ht(bodies[kd], hps[kd], hns[kd], kh, W)
+            patch = jnp.concatenate(
+                [_shift_w(xkh, kw, W) for kw in range(3)], axis=0
+            )
+            part = jax.lax.dot_general(
+                w_ref[kd, kh],
+                patch,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * valids[kd]
+            acc = part if acc is None else acc + part
+    y_ref[0, 0] = acc.astype(y_ref.dtype)
+
+
+def _wgrad_kernel_ht(W: int, *args):
+    """H-tiled wgrad: dw[kd, kh] += dy_tile ⋅ patchᵀ over the sequential
+    (B, D, H/TH) grid."""
+    *refs, dy_ref, dw_ref = args
+    d, nd = pl.program_id(1), pl.num_programs(1)
+    h, nh = pl.program_id(2), pl.num_programs(2)
+
+    @pl.when((pl.program_id(0) == 0) & (d == 0) & (h == 0))
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    bodies, hps, hns = _ht_rows(refs, h, nh)
+    valids = _depth_valids(d, nd)
+    dy = dy_ref[0, 0]  # (Co, TH·W)
+    for kd in range(3):
+        for kh in range(3):
+            xkh = _shift_h_ht(bodies[kd], hps[kd], hns[kd], kh, W)
+            patch = jnp.concatenate(
+                [_shift_w(xkh, kw, W) for kw in range(3)], axis=0
+            )
+            part = jax.lax.dot_general(
+                dy,
+                patch,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Co, 3·Ci)
+            dw_ref[kd, kh] += part * valids[kd]
+
+
+def _halo_specs_ht(Ci, D, H, W, TH):
+    """BlockSpecs for the 9 data refs of the H-tiled kernels, over a
+    (B, D, Ci, H·W) operand viewed in two block granularities: (Ci, TH·W)
+    body tiles indexed by h-tile, and (Ci, W) single-row h-halos indexed in
+    W-row units (legal: W is 128-divisible on this path). Edge indices are
+    clamped; the kernel masks their contribution."""
+    nh = H // TH
+
+    def at(di, hi):
+        return lambda b, d, h: (b, di(d), 0, hi(h))
+
+    d_prev = lambda d: jnp.maximum(d - 1, 0)
+    d_mid = lambda d: d
+    d_next = lambda d: jnp.minimum(d + 1, D - 1)
+    h_body = lambda h: h
+    h_prev = lambda h: jnp.maximum(h * TH - 1, 0)
+    h_next = lambda h: jnp.minimum((h + 1) * TH, H - 1)
+    specs = []
+    for di in (d_prev, d_mid, d_next):  # body tiles
+        specs.append(pl.BlockSpec((1, 1, Ci, TH * W), at(di, h_body)))
+    for di in (d_prev, d_mid, d_next):  # halo row above the tile
+        specs.append(pl.BlockSpec((1, 1, Ci, W), at(di, h_prev)))
+    for di in (d_prev, d_mid, d_next):  # halo row below the tile
+        specs.append(pl.BlockSpec((1, 1, Ci, W), at(di, h_next)))
+    return specs
+
+
+def _pick_th(H: int, W: int, Cmax: int) -> int:
+    """H rows per tile: big tiles amortise halo/grid overhead; the (3·C, L)
+    f32 patch plus the accumulator must stay well inside scoped VMEM."""
+    for th in (64, 32, 16, 8, 4, 2, 1):
+        if H % th == 0 and 4 * Cmax * th * W * 4 <= 4_000_000:
+            return th
+    return 1
+
+
+def _ht_supported(H: int, W: int) -> bool:
+    # halo blocks are single (C, W) rows: Mosaic needs the lane dim of every
+    # block 128-divisible (or equal to the array dim, impossible for a row)
+    return W % 128 == 0
+
+
 def _halo_specs(Ci, D, S, TD):
     """BlockSpecs for the (prev-row, TD-row body, next-row) trio of a
     (B, D, Ci, S) operand — depth-major so the blocked dims are OUTER dims
@@ -229,35 +363,68 @@ def _prep_w(w):
 # per-program working set — three (C_in, H·W) halo rows, the (3·C_in, H·W)
 # patch and the f32 accumulator — blows the ~16 MB VMEM budget (observed:
 # "scoped allocation 20.05M ... exceeded scoped vmem limit" on v5e at 96³).
-# Splitting the contraction into ≤64-channel chunks summed in XLA keeps every
-# call comfortably inside VMEM at identical math and negligible extra traffic.
+# Splitting the contraction into chunks summed in XLA keeps every call
+# comfortably inside VMEM at identical math and negligible extra traffic.
+# f32 operands double the per-channel footprint AND lose the bf16 halving on
+# every intermediate row copy, so their ceiling drops to 16 (observed on v5e
+# at 96² planes: 64-ch f32 = 18.56M scoped, 32-ch f32 concat = 26.12M — both
+# over the 16M budget; the f32 path is correctness-only, training runs bf16).
 _CI_CHUNK = 64
-# kw-concat patches cost an extra (3·C_in, S) VMEM buffer; above this S·C_in
+
+
+def _ci_chunk_for(dtype) -> int:
+    return _CI_CHUNK if jnp.dtype(dtype).itemsize <= 2 else 16
+
+
+# kw-concat patches cost an extra (3·C_in, S) VMEM buffer; above this byte
 # budget use per-tap dots (observed scoped-vmem OOM at 128³ / S = 16384 even
-# at C_in = 32; every 96³ shape stays in concat mode)
-_CONCAT_BUDGET = 450_000
+# at C_in = 32 bf16; every 96³ bf16 shape stays in concat mode)
+_CONCAT_BUDGET = 900_000  # bytes of a (C_in, S) row
 
 
-def _ci_chunks(Ci: int):
-    n = -(-Ci // _CI_CHUNK)
+def _ci_chunks(Ci: int, dtype):
+    cap = _ci_chunk_for(dtype)
+    n = -(-Ci // cap)
     size = -(-Ci // n)
     return [(s, min(size, Ci - s)) for s in range(0, Ci, size)]
+
+
+# whole-plane kernels hold entire (C, H·W) planes in VMEM — fine up to 96²
+# in-plane voxels, OOM beyond (v5e); larger planes take the H-tiled path
+_PLANE_LANES = 96 * 96
 
 
 def _conv3_cf_pallas(x, w, interpret=False):
     B, Ci, D, H, W = x.shape
     Co = w.shape[-1]
     S = H * W
-    if Ci > _CI_CHUNK:
+    if Ci > _ci_chunk_for(x.dtype):
         out = None
-        for s, n in _ci_chunks(Ci):
+        for s, n in _ci_chunks(Ci, x.dtype):
             part = _conv3_cf_pallas(x[:, s : s + n], w[:, :, :, s : s + n],
                                     interpret)
+            # f32 partial sum: bf16 chunk outputs round once in the kernel;
+            # summing them in bf16 again costs ~2 extra ulp (seen on v5e)
+            part = part.astype(jnp.float32)
             out = part if out is None else out + part
-        return out
+        return out.astype(x.dtype)
     xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B, D, Ci, S)
     w_prep = _prep_w(w).astype(x.dtype)
-    concat_kw = S * Ci <= _CONCAT_BUDGET
+    if S > _PLANE_LANES:
+        TH = _pick_th(H, W, max(Ci, Co))
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel_ht, W),
+            grid=(B, D, H // TH),
+            in_specs=_halo_specs_ht(Ci, D, H, W, TH)
+            + [pl.BlockSpec((3, 3, Co, 3 * Ci),
+                            lambda b, d, h: (0, 0, 0, 0))],
+            out_specs=pl.BlockSpec((1, 1, Co, TH * W),
+                                   lambda b, d, h: (b, d, 0, h)),
+            out_shape=jax.ShapeDtypeStruct((B, D, Co, S), x.dtype),
+            interpret=interpret,
+        )(*([xf] * 9), w_prep)
+        return jnp.transpose(out.reshape(B, D, Co, H, W), (0, 2, 1, 3, 4))
+    concat_kw = S * Ci * x.dtype.itemsize <= _CONCAT_BUDGET
     TD = _pick_td(D, S, max(Ci, Co), concat_kw, x.dtype.itemsize)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, W, concat_kw, TD),
@@ -274,15 +441,30 @@ def _conv3_cf_pallas(x, w, interpret=False):
 def _wgrad_pallas(x, dy, Co, interpret=False):
     B, Ci, D, H, W = x.shape
     S = H * W
-    if Ci > _CI_CHUNK:
+    if Ci > _ci_chunk_for(x.dtype):
         return jnp.concatenate(
             [_wgrad_pallas(x[:, s : s + n], dy, Co, interpret)
-             for s, n in _ci_chunks(Ci)],
+             for s, n in _ci_chunks(Ci, x.dtype)],
             axis=3,
         )
     xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B, D, Ci, S)
     dyf = jnp.transpose(dy, (0, 2, 1, 3, 4)).reshape(B, D, Co, S)
-    concat_kw = S * max(Ci, Co) <= _CONCAT_BUDGET
+    if S > _PLANE_LANES:
+        TH = _pick_th(H, W, max(Ci, Co))
+        dw = pl.pallas_call(
+            functools.partial(_wgrad_kernel_ht, W),
+            grid=(B, D, H // TH),
+            in_specs=_halo_specs_ht(Ci, D, H, W, TH)
+            + [pl.BlockSpec((1, 1, Co, TH * W),
+                            lambda b, d, h: (b, d, 0, h))],
+            out_specs=pl.BlockSpec((3, 3, Co, 3 * Ci),
+                                   lambda b, d, h: (0, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((3, 3, Co, 3 * Ci), jnp.float32),
+            interpret=interpret,
+        )(*([xf] * 9), dyf)
+        dw = dw.reshape(3, 3, Co, 3, Ci)
+        return jnp.transpose(dw, (0, 1, 3, 4, 2))
+    concat_kw = S * max(Ci, Co) * x.dtype.itemsize <= _CONCAT_BUDGET
     TD = _pick_td(D, S, max(Ci, Co), concat_kw, x.dtype.itemsize)
     dw = pl.pallas_call(
         functools.partial(_wgrad_kernel, W, concat_kw, TD),
@@ -335,6 +517,12 @@ def _conv3_cf_xla(x, w):
     return out.astype(x.dtype)
 
 
+def cf_plane_supported(H: int, W: int) -> bool:
+    """True when the Pallas CF kernels handle an (H, W) in-plane shape:
+    whole-plane mode up to 96², H-tiled mode for any 128-divisible W."""
+    return H * W <= _PLANE_LANES or _ht_supported(H, W)
+
+
 def conv3x3x3_cf(x, w, force_pallas: bool = False, interpret: bool = False):
     """SAME 3³ conv on channel-first operands.
 
@@ -342,6 +530,7 @@ def conv3x3x3_cf(x, w, force_pallas: bool = False, interpret: bool = False):
     kernel layout, so parameters are interchangeable with the channels-last
     path. Differentiable (custom VJP on the Pallas path).
     """
-    if force_pallas or jax.default_backend() == "tpu":
+    H, W = x.shape[3], x.shape[4]
+    if (force_pallas or jax.default_backend() == "tpu") and cf_plane_supported(H, W):
         return _conv3_cf(x, w.astype(x.dtype), interpret)
     return _conv3_cf_xla(x, w.astype(x.dtype))

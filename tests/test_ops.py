@@ -392,6 +392,65 @@ class TestConvCF:
         np.testing.assert_allclose(gx_p, gx_x, rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(gw_p, gw_x, rtol=1e-4, atol=1e-2)
 
+    def test_pallas_ht_mode_matches_flax(self, monkeypatch):
+        """H-tiled kernels (the 128³ path: plane larger than the whole-plane
+        VMEM budget, W 128-divisible) — multi-tile grid with h-halo refs,
+        fwd + both grads vs the XLA path."""
+        import jax
+
+        from rsuper_tpu.ops import conv_cf
+
+        monkeypatch.setattr(conv_cf, "_PLANE_LANES", 0)  # force HT dispatch
+        monkeypatch.setattr(conv_cf, "_pick_th", lambda H, W, C: 2)
+        x_cl, w = self._setup(B=2, C=4, Co=6, S=(4, 6, 128), seed=4)
+        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        got = jnp.moveaxis(
+            conv_cf.conv3x3x3_cf(x_cf, w, force_pallas=True, interpret=True),
+            1, -1,
+        )
+        np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-4)
+
+        def f(mode):
+            def g(x, w):
+                y = conv_cf.conv3x3x3_cf(x, w, force_pallas=mode, interpret=mode)
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+            return g
+
+        gx_p, gw_p = jax.grad(f(True), argnums=(0, 1))(x_cf, w)
+        gx_x, gw_x = jax.grad(f(False), argnums=(0, 1))(x_cf, w)
+        np.testing.assert_allclose(gx_p, gx_x, rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(gw_p, gw_x, rtol=1e-4, atol=1e-2)
+
+    def test_pallas_ht_channel_chunking(self, monkeypatch):
+        """HT path with C_in > chunk ceiling (the 128³ decoder concat input)."""
+        from rsuper_tpu.ops import conv_cf
+
+        monkeypatch.setattr(conv_cf, "_PLANE_LANES", 0)
+        monkeypatch.setattr(conv_cf, "_CI_CHUNK", 8)
+        x_cl, w = self._setup(B=1, C=12, Co=4, S=(3, 4, 128), seed=5)
+        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        got = jnp.moveaxis(
+            conv_cf.conv3x3x3_cf(x_cf, w, force_pallas=True, interpret=True),
+            1, -1,
+        )
+        np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-3)
+
+    def test_unsupported_plane_falls_back_to_xla(self):
+        """Planes too big for whole-plane mode with a non-128-divisible W must
+        dispatch to XLA instead of a kernel that would OOM scoped VMEM."""
+        from rsuper_tpu.ops import conv_cf
+
+        assert conv_cf.cf_plane_supported(96, 96)
+        assert conv_cf.cf_plane_supported(128, 128)
+        assert conv_cf.cf_plane_supported(200, 256)
+        assert not conv_cf.cf_plane_supported(112, 112)
+        x_cl, w = self._setup(B=1, C=2, Co=2, S=(2, 112, 112), seed=6)
+        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        got = jnp.moveaxis(
+            conv_cf.conv3x3x3_cf(x_cf, w, force_pallas=True), 1, -1
+        )
+        np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-4)
+
     def test_pallas_gradients_match_xla(self):
         import jax
 
