@@ -27,7 +27,12 @@ def main(argv=None):
 
     apply_platform_env()  # RSUPER_PLATFORM=cpu -> CPU smoke runs
 
-    from rsuper_tpu.eval.detection import detection_table, detection_table_nnunet
+    from rsuper_tpu.eval.detection import (
+        detection_table,
+        detection_table_nnunet,
+        merge_detection_parts,
+        write_detection_parts,
+    )
     from rsuper_tpu.eval.sens_spec import best_f1, evaluate_detection, load_ground_truth
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -37,9 +42,20 @@ def main(argv=None):
     else:
         tables = detection_table(args.pred_dir, organs=tuple(args.organs),
                                  parts=args.parts, part=args.part)
-    for th, df in tables.items():
-        df.to_csv(os.path.join(args.out_dir,
-                               f"tumor_detection_results_th{th}.csv"), index=False)
+    if args.parts > 1:
+        # sharded run: write this part atomically; whichever part lands last
+        # finds the full set, merges, and carries on to the metrics sweep
+        write_detection_parts(args.out_dir, tables, args.parts, args.part)
+        tables = merge_detection_parts(args.out_dir, args.parts)
+        if tables is None:
+            print(f"[eval] part {args.part}/{args.parts} written; "
+                  "other parts still pending — metrics run with the last part")
+            return
+    else:
+        for th, df in tables.items():
+            df.to_csv(os.path.join(args.out_dir,
+                                   f"tumor_detection_results_th{th}.csv"),
+                      index=False)
 
     gt = load_ground_truth(args.ground_truth, organs=tuple(args.organs))
     evaluated = evaluate_detection(gt, tables, organs=tuple(args.organs))

@@ -167,3 +167,49 @@ def detection_table(
         for th in thresholds:
             rows[th].append(rec[th])
     return {th: pd.DataFrame(r) for th, r in rows.items()}
+
+
+def write_detection_parts(out_dir: str, tables: Dict[float, pd.DataFrame],
+                          parts: int, part: int) -> None:
+    """Persist one part's per-threshold tables as atomic part files
+    (``tumor_detection_results_th{th}.part{part}of{parts}.csv``) — the
+    lock-free analogue of the reference's FileLock CSV appends
+    (``eval_AUC.py:12-30,321``)."""
+    for th, df in tables.items():
+        path = os.path.join(
+            out_dir, f"tumor_detection_results_th{th}.part{part}of{parts}.csv"
+        )
+        tmp = path + ".tmp"
+        df.to_csv(tmp, index=False)
+        os.replace(tmp, path)
+
+
+def merge_detection_parts(out_dir: str, parts: int):
+    """If every part file of every threshold exists, concatenate them
+    (sorted, de-duplicated by BDMAP_ID) into the canonical
+    ``tumor_detection_results_th{th}.csv`` files and return the merged
+    table dict; else return None (some part still running)."""
+    merged: Dict[float, pd.DataFrame] = {}
+    for th in THRESHOLDS:
+        frames = []
+        for part in range(parts):
+            path = os.path.join(
+                out_dir,
+                f"tumor_detection_results_th{th}.part{part}of{parts}.csv",
+            )
+            if not os.path.exists(path):
+                return None
+            frames.append(pd.read_csv(path))
+        df = (
+            pd.concat(frames, ignore_index=True)
+            .drop_duplicates(subset="BDMAP_ID")
+            .sort_values("BDMAP_ID")
+            .reset_index(drop=True)
+        )
+        merged[th] = df
+    for th, df in merged.items():
+        df.to_csv(
+            os.path.join(out_dir, f"tumor_detection_results_th{th}.csv"),
+            index=False,
+        )
+    return merged

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from .attention_unet import AttentionUNet
 from .dim2 import AttentionUNet2D, TransUNet2D, UNet2D
+from .dim2_zoo import MedFormer2D, SwinUNet2D, UNetPlusPlus2D
 from .medformer import MedFormer
 from .nnformer import NnFormer, VTUNet
 from .swin_unetr import SwinUNETR
@@ -140,6 +141,25 @@ MODEL_REGISTRY = {
         num_classes=n, base_chan=a.get("base_chan", 32),
         hidden=a.get("hidden", 256), depth=a.get("depth", 4),
         heads=a.get("heads", 8), dtype=d),
+    "swin_unet_2d": lambda a, n, d: SwinUNet2D(
+        num_classes=n, embed_dim=a.get("embed_dim", 96),
+        depths=tuple(a.get("depths", (2, 2, 2, 2))),
+        num_heads=tuple(a.get("num_heads", (3, 6, 12, 24))),
+        window_size=a.get("window_size", 4),
+        patch_size=a.get("patch_size", 4), dtype=d),
+    "unetpp_2d": lambda a, n, d: UNetPlusPlus2D(
+        num_classes=n, base_chan=a.get("base_chan", 32),
+        depth=a.get("depth", 4), dtype=d),
+    "medformer_2d": lambda a, n, d: MedFormer2D(
+        num_classes=n, base_chan=a.get("base_chan", 32),
+        map_size=a.get("map_size", 8),
+        conv_num=tuple(a.get("conv_num", (2, 1, 0, 0, 0, 1, 2, 2))),
+        trans_num=tuple(a.get("trans_num", (0, 1, 2, 2, 2, 1, 0, 0))),
+        num_heads=tuple(a.get("num_heads", (1, 4, 8, 16, 8, 4, 1, 1))),
+        fusion_depth=a.get("fusion_depth", 2),
+        fusion_dim=a.get("fusion_dim", 512),
+        fusion_heads=a.get("fusion_heads", 16),
+        aux_loss=a.get("aux_loss", False), dtype=d),
 }
 
 

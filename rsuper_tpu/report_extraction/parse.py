@@ -87,6 +87,60 @@ def parse_malignancy(answer: str, organ: str = "liver") -> Dict[str, object]:
     return {f"Malignant Tumor in {organ}": _yes_no_u(pat, text)}
 
 
+def _max_size_mm(raw: str):
+    """Largest measurement in a size string, in mm (reference ``get_value``
+    step='malignant size', RadGPT.py:1319-1346: per-segment cm→mm conversion,
+    max over all numbers); None when no number parses."""
+    sizes = []
+    for text, unit in _UNIT_RE.findall(raw.lower()):
+        for n in _NUM_RE.findall(text):
+            sizes.append(float(n) * (10.0 if unit == "cm" else 1.0))
+    if not sizes:  # unitless: assume mm (prompt contract)
+        sizes = [float(n) for n in _NUM_RE.findall(raw)]
+    return max(sizes) if sizes else None
+
+
+def parse_single_organ_lesions(answer: str, organ: str) -> List[Dict[str, str]]:
+    """The reference's 'type and size' single-organ step
+    (``interpret_output``, RadGPT.py:1485-1498): per-tumor type / certainty /
+    size / location lines for one named organ. Sizes normalise like the
+    multi-organ step ('multiple' passes through, max measurement in mm)."""
+    text = _strip_think(answer).lower()
+    pat = re.compile(
+        rf"{re.escape(organ.lower())} tumor \d+\s*:\s*type\s*=\s*(?P<type>.+?);"
+        r"\s*certainty\s*=\s*(?P<certainty>.+?);\s*size\s*=\s*(?P<size>.+?);"
+        r"\s*location\s*=\s*(?P<location>.+?);"
+    )
+    out = []
+    for m in pat.finditer(text):
+        raw = m.group("size").strip()
+        if "multiple" in raw:
+            size = "multiple"
+        else:
+            mm = _max_size_mm(raw)
+            size = "u" if mm is None else f"{mm:g}"
+        out.append({
+            "type": m.group("type").strip(),
+            "certainty": m.group("certainty").strip(),
+            "size": size,
+            "location": m.group("location").strip(),
+            "organ": organ.lower(),
+        })
+    return out
+
+
+def parse_malignant_size(answer: str, organ: str) -> Dict[str, object]:
+    """The reference's 'malignant size' step (RadGPT.py:1475-1479): the
+    LARGEST malignant-tumor size in the organ, in mm (None if unparseable)."""
+    text = _strip_think(answer).lower()
+    pat = rf"{re.escape(organ.lower())} malignant tumor size\s*[=:]\s*(.*?)(cm|mm)"
+    sizes = []
+    for raw, unit in re.findall(pat, text):
+        for n in _NUM_RE.findall(raw):
+            sizes.append(float(n) * (10.0 if unit == "cm" else 1.0))
+    return {f"Malignant Tumor in {organ}": max(sizes) if sizes else None}
+
+
 def parse_lesion_answer(answer: str) -> List[Dict[str, str]]:
     """LLM answer → list of lesion dicts; [] plus the no-lesion sentinel for
     healthy reports."""

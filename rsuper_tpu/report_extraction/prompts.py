@@ -48,6 +48,61 @@ pancreas tumor presence = <yes/no/u>;
 TUMOR_DETECTION_USER = "CT report:\n{report}\n\nAnswer now."
 
 
+# per-organ sub-location menus (reference ``organ_part`` table used by the
+# 'type and size' / 'malignant size' instructions)
+ORGAN_LOCATIONS = {
+    "liver": "segment 1, segment 2, ..., segment 8 (Couinaud; several as "
+             "'segment 2 / segment 3'), left lobe, right lobe",
+    "pancreas": "head, body, tail, uncinate process",
+    "kidney": "left, right, upper pole, lower pole",
+}
+
+# the reference's 'type and size' single-organ step
+# (RadGPT.py instructions0ShotSizenType :490, interpret_output :1485-1498):
+# one organ per call, one template line per tumor
+TYPE_SIZE_ORGAN_SYSTEM = """You are a careful radiology-report analyst.
+The CT report below may mention one or more tumors in the {organ}.
+List the type, certainty of the type, size, and location of EVERY tumor in
+the {organ}. Answer with one line per tumor, numbered from 1, in EXACTLY
+this format:
+{organ} tumor N: type = <lesion type>; certainty = <high/low/u>; size = <size>; location = <location>;
+
+Rules:
+1. 'size': the largest current measurements, as '23 mm' or '2.3 x 1.8 cm' —
+   always state the unit (cm or mm); 'u' if unstated; 'multiple' if the
+   report only says many lesions of unstated sizes. Ignore PAST measurements
+   (phrases like previously, prior, compared to).
+2. 'location': one of {organ_locations} — or 'u' if unstated.
+3. Only include tumors the report affirms; ignore negated findings.
+4. If the report mentions no tumor in the {organ}, answer exactly:
+no tumor found.
+"""
+
+TYPE_SIZE_ORGAN_USER = "CT report:\n{report}\n\nList the tumors now."
+
+
+# the reference's 'malignant size' step (RadGPT.py
+# instructions0ShotMalignantSize :466, interpret_output :1475-1479)
+MALIGNANT_SIZE_SYSTEM = """You are a careful radiology-report analyst.
+The CT report below mentions a malignant tumor (or tumors) in the {organ}.
+List the size and location of EVERY malignant tumor in the {organ} — not
+benign findings (cysts, hemangiomas). Answer with one line per malignant
+tumor, in EXACTLY this format:
+{organ} malignant tumor size = <size>; location = <location>;
+
+Rules:
+1. 'size': current measurements as '23 mm' or '2.3 x 1.8 cm' — always write
+   the unit (cm or mm; assume mm if the report omits it). Write 'U' if the
+   report gives no size. Ignore PAST measurements.
+2. 'location': one of {organ_locations} — or 'U' if unstated.
+3. A tumor is malignant if the report calls it cancer/metastasis/growing
+   oncologic lesion, names a malignant type, or the patient has known cancer
+   in the {organ} and the tumor is not stated to be benign.
+"""
+
+MALIGNANT_SIZE_USER = "CT report:\n{report}\n\nList the malignant tumor sizes now."
+
+
 # the reference's 'malignancy detection' step (:1472-1474)
 MALIGNANCY_SYSTEM = """You are a careful radiology-report analyst.
 Read the CT report and decide whether it affirms a MALIGNANT tumor in the

@@ -22,23 +22,38 @@ import pandas as pd
 
 from .client import LLMClient
 from .metadata import build_per_ct_csv, build_per_tumor_csv
-from .parse import parse_lesion_answer, parse_malignancy, parse_tumor_detection
+from .parse import (
+    parse_lesion_answer,
+    parse_malignancy,
+    parse_malignant_size,
+    parse_single_organ_lesions,
+    parse_tumor_detection,
+)
 from .prompts import (
     LESION_EXTRACTION_SYSTEM,
     LESION_EXTRACTION_USER,
     MALIGNANCY_SYSTEM,
     MALIGNANCY_USER,
+    MALIGNANT_SIZE_SYSTEM,
+    MALIGNANT_SIZE_USER,
+    ORGAN_LOCATIONS,
     TUMOR_DETECTION_SYSTEM,
     TUMOR_DETECTION_USER,
+    TYPE_SIZE_ORGAN_SYSTEM,
+    TYPE_SIZE_ORGAN_USER,
 )
 
 # extraction steps mirrored from the reference's RadGPT prompt library
 # (``get_instuctions``): 'type and size multi-organ' is the R-Super training
-# step; detection/malignancy are the screening steps used for eval cohorts
+# step; detection/malignancy are the screening steps used for eval cohorts;
+# type_and_size_organ / malignant_size are the per-organ workflow steps
+# (RadGPT.py:1485,1319)
 STEPS = {
     "type_and_size": (LESION_EXTRACTION_SYSTEM, LESION_EXTRACTION_USER),
     "tumor_detection": (TUMOR_DETECTION_SYSTEM, TUMOR_DETECTION_USER),
     "malignancy": (MALIGNANCY_SYSTEM, MALIGNANCY_USER),
+    "type_and_size_organ": (TYPE_SIZE_ORGAN_SYSTEM, TYPE_SIZE_ORGAN_USER),
+    "malignant_size": (MALIGNANT_SIZE_SYSTEM, MALIGNANT_SIZE_USER),
 }
 
 
@@ -57,7 +72,9 @@ def run_extraction(
     os.makedirs(out_dir, exist_ok=True)
     raw_path = os.path.join(out_dir, f"raw_answers_part{part}.jsonl")
     system, user = STEPS[step]
-    system = system.replace("{organ}", organ)
+    system = system.replace("{organ}", organ).replace(
+        "{organ_locations}", ORGAN_LOCATIONS.get(organ, "left, right")
+    )
 
     df = pd.read_csv(reports_csv)
     if "BDMAP ID" in df.columns:
@@ -118,6 +135,20 @@ def postprocess_answers(out_dir: str, step: str = "type_and_size",
                 for cid, ans in answers.items()]
         pd.DataFrame(rows).to_csv(
             os.path.join(out_dir, f"malignancy_{organ}.csv"), index=False)
+        return
+    if step == "malignant_size":
+        rows = [{"BDMAP_ID": cid, **parse_malignant_size(ans, organ)}
+                for cid, ans in answers.items()]
+        pd.DataFrame(rows).to_csv(
+            os.path.join(out_dir, f"malignant_size_{organ}.csv"), index=False)
+        return
+    if step == "type_and_size_organ":
+        rows = []
+        for cid, ans in answers.items():
+            for i, t in enumerate(parse_single_organ_lesions(ans, organ)):
+                rows.append({"BDMAP_ID": cid, "tumor": i + 1, **t})
+        pd.DataFrame(rows).to_csv(
+            os.path.join(out_dir, f"type_and_size_{organ}.csv"), index=False)
         return
     parsed = {cid: parse_lesion_answer(ans) for cid, ans in answers.items()}
     per_tumor = build_per_tumor_csv(parsed)

@@ -149,6 +149,63 @@ def test_parse_lesion_answer_reference_formats():
     assert one[0]["size"] == "14"
 
 
+def test_parse_per_organ_steps(tmp_path):
+    """The reference's per-organ workflow steps: 'type and size'
+    (single-organ, RadGPT.py:1485-1498) and 'malignant size' (:1475-1479,
+    :1319-1346 max-mm normalisation) + their CSV postprocess."""
+    import json as _json
+
+    from rsuper_tpu.report_extraction.parse import (
+        parse_malignant_size,
+        parse_single_organ_lesions,
+    )
+    from rsuper_tpu.report_extraction.run import postprocess_answers
+
+    ans = ("<think>reasoning</think>\n"
+           "pancreas tumor 1: type = pdac; certainty = high; "
+           "size = 2.3 x 1.8 cm; location = head;\n"
+           "pancreas tumor 2: type = cyst; certainty = low; "
+           "size = multiple; location = tail;\n"
+           "pancreas tumor 3: type = ipmn; certainty = u; size = u; "
+           "location = u;\n")
+    tumors = parse_single_organ_lesions(ans, "pancreas")
+    assert len(tumors) == 3
+    assert tumors[0]["type"] == "pdac" and tumors[0]["size"] == "23"
+    assert tumors[1]["size"] == "multiple"
+    assert tumors[2]["size"] == "u" and tumors[2]["location"] == "u"
+    assert parse_single_organ_lesions("no tumor found.", "pancreas") == []
+    # other organs' lines don't leak in
+    assert parse_single_organ_lesions(ans, "liver") == []
+
+    ms = parse_malignant_size(
+        "liver malignant tumor size = 1.5 cm; location = segment 2;\n"
+        "liver malignant tumor size = 22 mm; location = segment 7;", "liver")
+    assert ms == {"Malignant Tumor in liver": 22.0}  # max over tumors, in mm
+    assert parse_malignant_size("nothing parseable", "liver") == {
+        "Malignant Tumor in liver": None}
+    # mixed-unit 3D measurement: every number converts with its own unit
+    ms2 = parse_malignant_size(
+        "kidney malignant tumor size = 4 x 3 x 2.5 cm; location = left;",
+        "kidney")
+    assert ms2["Malignant Tumor in kidney"] == 40.0
+
+    with open(tmp_path / "raw_answers_part0.jsonl", "w") as f:
+        f.write(_json.dumps({"id": "BDMAP_A", "answer": ans}) + "\n")
+    postprocess_answers(str(tmp_path), step="type_and_size_organ",
+                        organ="pancreas")
+    df = pd.read_csv(tmp_path / "type_and_size_pancreas.csv")
+    assert len(df) == 3 and df.iloc[0]["size"] == "23"
+
+    with open(tmp_path / "raw_answers_part1.jsonl", "w") as f:
+        f.write(_json.dumps(
+            {"id": "BDMAP_B",
+             "answer": "liver malignant tumor size = 30 mm; location = u;"}
+        ) + "\n")
+    postprocess_answers(str(tmp_path), step="malignant_size", organ="liver")
+    df = pd.read_csv(tmp_path / "malignant_size_liver.csv")
+    assert df[df.BDMAP_ID == "BDMAP_B"].iloc[0]["Malignant Tumor in liver"] == 30.0
+
+
 def test_parse_screening_steps(tmp_path):
     """The reference's screening extraction steps (tumor detection /
     malignancy, RadGPT.py interpret_output :1452-1474) and their CSV

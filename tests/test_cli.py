@@ -121,3 +121,40 @@ def test_train_cli_clip_pretrain(tmp_path):
     ])
     assert (tmp/'exp/clip_test/latest').exists()
 
+
+
+@pytest.mark.slow
+def test_train_cli_kfold_summary(tmp_path):
+    """--k_fold: each fold trains into <name>_fold<i>/, writes
+    fold_results.json, and the last fold emits the cross_validation summary
+    (reference train_ddp.py:751-779)."""
+    tmp = tmp_path
+    mask_dir = tmp/'masks'; mask_dir.mkdir()
+    for cid in ('BDMAP_A', 'BDMAP_B'):
+        _make_mask_case(mask_dir, cid)
+    json.dump(list(CLASSES), open(mask_dir/'classes.json','w'))
+    yaml.safe_dump({
+        'training_size': [32, 32, 32],
+        'model_args': {'base_chan': 4, 'block': 'BasicBlock', 'norm': 'in'},
+        'compute_dtype': 'float32',
+        'num_workers': 2,
+        'scale': [0.0, 0.0, 0.0],
+        'rotate': [0.0, 0.0, 0.0],
+        'val_freq': 0,
+    }, open(tmp/'small.yaml', 'w'))
+
+    import train as train_cli
+    for fold in range(2):
+        train_cli.main([
+            '--preset','abdomenatlas/resunet_3d','--config',str(tmp/'small.yaml'),
+            '--data_root', str(mask_dir),
+            '--batch_size','2','--iter_per_epoch','1','--epochs','1',
+            '--unique_name','kf','--cp_path',str(tmp/'exp'),
+            '--k_fold','2','--fold',str(fold),
+            '--loss','dice','--max_steps','1',
+        ])
+        assert (tmp/f'exp/kf_fold{fold}/fold_results.json').exists()
+    summary = tmp/'exp/kf_cross_validation.txt'
+    assert summary.exists()
+    text = summary.read_text()
+    assert 'dice' in text and '±' in text

@@ -157,6 +157,40 @@ def test_dim2_models(arch):
     assert out["segmentation"].shape == (1, 64, 64, 4)
 
 
+@pytest.mark.parametrize("arch,args", [
+    ("swin_unet_2d", {"embed_dim": 12, "depths": (1, 1, 1),
+                      "num_heads": (2, 2, 2), "window_size": 2}),
+    ("unetpp_2d", {"base_chan": 4, "depth": 3}),
+    ("medformer_2d", {"base_chan": 4, "map_size": 4,
+                      "num_heads": (1, 2, 2, 2, 2, 2, 1, 1),
+                      "fusion_dim": 16, "fusion_heads": 2}),
+])
+def test_dim2_zoo_models(arch, args):
+    """2D transformer zoo parity (reference dim2/{swin_unet,unetpp,
+    medformer}.py): shape contract + finite outputs."""
+    model = get_model(arch, 4, args, dtype=jnp.float32)
+    x = jnp.ones((1, 64, 64, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out["segmentation"].shape == (1, 64, 64, 4)
+    assert bool(jnp.all(jnp.isfinite(out["segmentation"])))
+
+
+def test_medformer_2d_aux():
+    model = get_model(
+        "medformer_2d", 3,
+        {"base_chan": 4, "map_size": 4, "aux_loss": True,
+         "num_heads": (1, 2, 2, 2, 2, 2, 1, 1),
+         "fusion_dim": 16, "fusion_heads": 2},
+        dtype=jnp.float32,
+    )
+    x = jnp.ones((1, 32, 32, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    logits, aux = out["segmentation"]
+    assert logits.shape == (1, 32, 32, 3) and aux.shape == (1, 32, 32, 3)
+
+
 def test_instance_norm_custom_vjp_matches_autodiff():
     """Forward matches torch-InstanceNorm3d semantics; the hand-written VJP
     matches autodiff of the straightforward definition."""

@@ -137,6 +137,40 @@ def test_detection_table_and_eval(tmp_path):
     assert best["f1"] == 1.0
 
 
+def test_detection_parts_merge_identical(tmp_path):
+    """A two-part sharded evaluate run must merge into exactly the one-part
+    table (reference eval_AUC.py ProcessPool+FileLock sharding :321,12-30)."""
+    from rsuper_tpu.eval.detection import (
+        merge_detection_parts,
+        write_detection_parts,
+    )
+
+    pred = tmp_path / "preds"; pred.mkdir()
+    out = tmp_path / "eval"; out.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        d = pred / f"BDMAP_{i}"
+        d.mkdir()
+        prob = (rng.random((12, 12, 12)) * (i % 2)).astype(np.float32)
+        write_nifti(str(d / "pancreatic_lesion_prob.nii.gz"), prob, np.eye(4))
+
+    full = detection_table(str(pred), organs=("pancreatic",))
+    for part in range(2):
+        t = detection_table(str(pred), organs=("pancreatic",),
+                            parts=2, part=part)
+        write_detection_parts(str(out), t, 2, part)
+        merged = merge_detection_parts(str(out), 2)
+        if part == 0:
+            assert merged is None  # incomplete → no canonical files yet
+    assert merged is not None
+    for th, df in full.items():
+        pd.testing.assert_frame_equal(
+            merged[th],
+            df.sort_values("BDMAP_ID").reset_index(drop=True),
+        )
+        assert (out / f"tumor_detection_results_th{th}.csv").exists()
+
+
 def test_device_postprocess_packed_matches_host():
     """The on-device threshold+organ-gate+bit-pack path must reproduce the
     host postprocess exactly (the packed uint8 transfer is the 32x D2H cut)."""

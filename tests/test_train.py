@@ -144,3 +144,39 @@ def test_clip_pretrain_step():
     state, metrics = step(state, shard_batch(batch, mesh))
     assert np.isfinite(float(metrics["contrastive_loss"]))
     assert int(state.step) == 1
+
+
+def test_cross_validation_summary(tmp_path):
+    """Per-fold results aggregate into cross_validation.txt with per-class
+    mean±std once all folds exist (reference train_ddp.py:751-779)."""
+    from rsuper_tpu.train.crossval import (
+        fold_dir_name,
+        summarize_cross_validation,
+        write_fold_results,
+    )
+
+    classes = ["background", "pancreas", "pancreatic_lesion"]
+    k = 3
+    rng = np.random.default_rng(0)
+    for fold in range(k):
+        d = tmp_path / fold_dir_name("exp", fold)
+        d.mkdir()
+        results = {
+            "dice": 0.6 + 0.1 * rng.random(len(classes)),
+            "asd": rng.random(len(classes)) * 3,
+            "hd95": rng.random(len(classes)) * 10,
+        }
+        write_fold_results(str(d), fold, k, classes, results)
+        out = summarize_cross_validation(str(tmp_path), "exp", k, classes)
+        if fold < k - 1:
+            assert out is None  # incomplete: no summary yet
+    assert out and out.endswith("exp_cross_validation.txt")
+    text = open(out).read()
+    for cls in classes:
+        assert cls in text
+    assert "±" in text and "mean" in text
+    # overall mean line parses and sits in [0, 1] for dice
+    import re
+
+    nums = re.findall(r"(\d+\.\d+)±", text.splitlines()[-1])
+    assert 0.0 <= float(nums[0]) <= 1.0

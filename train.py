@@ -161,9 +161,15 @@ def main(argv=None):
         train_cases, test_cases = cases, []
     elif args.k_fold:
         from rsuper_tpu.data.dataset import kfold_split
+        from rsuper_tpu.train.crossval import fold_dir_name
 
         train_cases, test_cases = kfold_split(cases, args.k_fold, args.fold,
                                               seed=cfg.seed)
+        # fold i trains into <cp_path>/<name>_fold<i>/ (crossval.py contract)
+        cv_base_name = cfg.unique_name
+        cfg = dataclasses.replace(
+            cfg, unique_name=fold_dir_name(cfg.unique_name, args.fold)
+        )
     else:
         train_cases, test_cases = split_train_test(cases, seed=cfg.seed)
 
@@ -232,9 +238,39 @@ def main(argv=None):
         def __iter__(self):
             return iter_test_cases()
 
-    train(cfg, model, dataset,
-          test_cases=_LazyTestCases() if test_cases else None,
-          max_steps=args.max_steps, profile_steps=args.profile_steps)
+    state = train(cfg, model, dataset,
+                  test_cases=_LazyTestCases() if test_cases else None,
+                  max_steps=args.max_steps, profile_steps=args.profile_steps)
+
+    if args.k_fold and test_cases:
+        # final per-fold validation + cross_validation summary when the last
+        # fold completes (reference train_ddp.py:751-779)
+        import jax
+
+        from rsuper_tpu.train.crossval import (
+            summarize_cross_validation,
+            write_fold_results,
+        )
+        from rsuper_tpu.train.validation import validate_cases, validate_cases_2d
+
+        def apply_fn(params, x):
+            out = model.apply(params, x)["segmentation"]
+            return out[0] if isinstance(out, (list, tuple)) else out
+
+        val_params = jax.device_get(
+            state.ema_params if cfg.ema else state.params
+        )
+        validate = validate_cases_2d if is_2d else validate_cases
+        results = validate(apply_fn, val_params, _LazyTestCases(),
+                           len(classes), window=cfg.training_size)
+        if jax.process_index() == 0:
+            exp_dir = f"{cfg.cp_path}/{cfg.unique_name}"
+            write_fold_results(exp_dir, args.fold, args.k_fold, classes,
+                               results)
+            out = summarize_cross_validation(cfg.cp_path, cv_base_name,
+                                             args.k_fold, classes)
+            if out:
+                print(f"[crossval] wrote {out}", flush=True)
 
 
 if __name__ == "__main__":
