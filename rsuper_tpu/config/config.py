@@ -45,6 +45,9 @@ class TrainConfig:
     clip_norm: float = 1.0
     ema: bool = True
     ema_alpha: float = 0.99
+    # ZeRO-1: shard Adam moments over the mesh data axis (reduce_scatter /
+    # all_gather inserted by XLA from sharding specs; parallel/mesh.py)
+    zero_opt: bool = False
     # losses (see losses.dispatcher.LossConfig)
     loss: str = "ball_dice_last"
     aux_weight: Tuple[float, ...] = (0.5, 0.5)

@@ -259,7 +259,8 @@ class DownBlockMF(nn.Module):
             and self.conv_block == "BasicBlock"
             and self.norm == "in"
             and self.kernel_size == 3
-            and cf_plane_supported(x.shape[2], x.shape[3])
+            and cf_plane_supported(x.shape[2], x.shape[3],
+                                   jnp.dtype(self.dtype).itemsize)
         )
         if use_cf:
             xc = jnp.moveaxis(x, -1, 1)
@@ -475,10 +476,11 @@ class MedFormer(nn.Module):
             and tn[7] == 0
             and self.kernel_size[0] == 3
             and x.shape[1] % 2 == 0
-            # whole planes ≤96² run the whole-plane kernels; larger planes
-            # (e.g. the 128³ headline patch size) use the H-tiled kernels,
-            # which need a 128-divisible W (ops/conv_cf.cf_plane_supported)
-            and cf_plane_supported(x.shape[2], x.shape[3])
+            # whole planes run the whole-plane kernels inside the byte
+            # budget; larger planes (the 128³ headline patch size) use the
+            # H-tiled kernels, which need a 128-divisible W
+            and cf_plane_supported(x.shape[2], x.shape[3],
+                                   jnp.dtype(self.dtype).itemsize)
         )
 
         # conv stem

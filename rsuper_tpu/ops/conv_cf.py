@@ -517,10 +517,13 @@ def _conv3_cf_xla(x, w):
     return out.astype(x.dtype)
 
 
-def cf_plane_supported(H: int, W: int) -> bool:
+def cf_plane_supported(H: int, W: int, itemsize: int = 2) -> bool:
     """True when the Pallas CF kernels handle an (H, W) in-plane shape:
-    whole-plane mode up to 96², H-tiled mode for any 128-divisible W."""
-    return H * W <= _PLANE_LANES or _ht_supported(H, W)
+    whole-plane mode while a (C, H·W) plane stays inside the bf16-calibrated
+    byte budget (f32 planes hit scoped-VMEM OOM at 96² — observed 16.45M at
+    the decoder shapes even with 16-channel chunks), H-tiled mode for any
+    128-divisible W (tile working sets are itemsize-insensitive)."""
+    return H * W * itemsize <= _PLANE_LANES * 2 or _ht_supported(H, W)
 
 
 def conv3x3x3_cf(x, w, force_pallas: bool = False, interpret: bool = False):
@@ -531,6 +534,7 @@ def conv3x3x3_cf(x, w, force_pallas: bool = False, interpret: bool = False):
     path. Differentiable (custom VJP on the Pallas path).
     """
     H, W = x.shape[3], x.shape[4]
-    if (force_pallas or jax.default_backend() == "tpu") and cf_plane_supported(H, W):
+    ok = cf_plane_supported(H, W, x.dtype.itemsize)
+    if (force_pallas or jax.default_backend() == "tpu") and ok:
         return _conv3_cf(x, w.astype(x.dtype), interpret)
     return _conv3_cf_xla(x, w.astype(x.dtype))

@@ -56,3 +56,47 @@ def shard_batch(batch, mesh: Mesh):
     the data axis (host → device transfer included)."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def zero_sharding_tree(mesh: Mesh, tree, min_size: int = 16384):
+    """ZeRO-1-style sharding specs for an optimizer-state pytree: each large
+    leaf is sharded over the ``data`` axis along its largest divisible
+    dimension; small leaves (scalars, norm stats, counts) stay replicated.
+
+    Annotation-only by design: XLA's SPMD partitioner turns the replicated
+    gradients + sharded Adam moments into a reduce_scatter → shard-local
+    update → all_gather(update) pattern over ICI with no user collectives —
+    the TPU-native equivalent of the reference's (absent) optimizer sharding,
+    cutting the 2x-params f32 Adam state per chip by the data-axis size.
+    """
+    n = mesh.shape[DATA_AXIS]
+    repl = NamedSharding(mesh, P())
+
+    def leaf(x):
+        shape = tuple(getattr(x, "shape", ()))
+        if shape and int(np.prod(shape)) >= min_size:
+            for a in sorted(range(len(shape)), key=lambda a: -shape[a]):
+                if shape[a] % n == 0:
+                    spec = [None] * len(shape)
+                    spec[a] = DATA_AXIS
+                    return NamedSharding(mesh, P(*spec))
+        return repl
+
+    return jax.tree.map(leaf, tree)
+
+
+def zero_state_shardings(mesh: Mesh, state):
+    """Sharding pytree for a ``TrainState`` under ZeRO-1: optimizer state
+    sharded over ``data``, params / EMA / step replicated (EMA and params
+    stay replicated so multi-host validation's ``device_get`` and the
+    sliding-window eval path keep working unchanged)."""
+    repl = NamedSharding(mesh, P())
+    return state.replace(
+        params=jax.tree.map(lambda _: repl, state.params),
+        opt_state=zero_sharding_tree(mesh, state.opt_state),
+        ema_params=(
+            jax.tree.map(lambda _: repl, state.ema_params)
+            if state.ema_params is not None else None
+        ),
+        step=repl,
+    )

@@ -93,15 +93,27 @@ def train(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
+    state_shardings = None
+    if cfg.zero_opt:
+        # ZeRO-1: Adam moments sharded over the data axis (params/EMA stay
+        # replicated); XLA inserts reduce_scatter/all_gather from the specs
+        from ..parallel.mesh import zero_state_shardings
+
+        state_shardings = zero_state_shardings(mesh, state)
     if jax.process_count() == 1:
-        state = jax.device_put(state, repl)
+        state = jax.device_put(
+            state, state_shardings if state_shardings is not None else repl
+        )
     else:
         # multihost: device_put cannot target non-addressable devices; every
         # process holds the identical host value (same seed), so assembling
         # the replicated global array from local copies is exact
+        sh_tree = (state_shardings if state_shardings is not None
+                   else jax.tree.map(lambda _: repl, state))
         state = jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(repl, np.asarray(x)),
-            state,
+            lambda x, s: jax.make_array_from_process_local_data(
+                s, np.asarray(x)),
+            state, sh_tree,
         )
 
     ckpt = CheckpointManager(exp_dir, save_every=cfg.save_every)
@@ -118,6 +130,7 @@ def train(
     step_fn = build_train_step(
         model, lmap, cfg.loss_config(), mesh=mesh, ema_alpha=cfg.ema_alpha,
         model_genesis=cfg.model_genesis_pretrain, clip_only=cfg.clip_pretrain,
+        state_shardings=state_shardings,
     )
 
     # multihost: each process loads 1/process_count of every global batch

@@ -71,11 +71,14 @@ def build_train_step(
     ema_alpha: float = 0.99,
     model_genesis: bool = False,
     clip_only: bool = False,
+    state_shardings=None,
 ):
     """Returns ``step(state, batch) -> (state, metrics)``, jitted.
 
     With a `mesh`, inputs/outputs carry NamedShardings (batch over 'data',
-    state replicated) so the same compiled step runs 1..N chips.
+    state replicated) so the same compiled step runs 1..N chips. Pass
+    `state_shardings` (e.g. ``parallel.mesh.zero_state_shardings``) to
+    override the replicated state placement — ZeRO-1 optimizer sharding.
     """
 
     def train_step(state: TrainState, batch):
@@ -92,10 +95,11 @@ def build_train_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    state_sh = state_shardings if state_shardings is not None else repl
     return jax.jit(
         train_step,
-        in_shardings=(repl, data),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
 

@@ -280,6 +280,29 @@ def evaluate(model, params, root: str, crop: int = 32):
     }
 
 
+def run_one_seed(out: str, args, seed: int):
+    """Generate + train both arms + evaluate for one seed; returns
+    {'mask_only': metrics, 'report': metrics}."""
+    os.makedirs(out, exist_ok=True)
+    print(f"[phantom] seed {seed}: generating dataset ...", flush=True)
+    generate(out, args.n_mask, args.n_report, args.n_test, seed=seed,
+             contrast_range=tuple(args.contrast),
+             radius_range=tuple(args.radius),
+             mask_contrast_range=(tuple(args.mask_contrast)
+                                  if args.mask_contrast else None))
+    results = {}
+    for with_reports in (False, True):
+        name = "report" if with_reports else "mask_only"
+        print(f"[phantom] seed {seed}: training {name} "
+              f"({args.steps} steps) ...", flush=True)
+        model, params = train_variant(out, with_reports, args.steps,
+                                      seed=seed, crop=args.crop,
+                                      report_weight=args.report_weight)
+        results[name] = evaluate(model, params, out, crop=args.crop)
+        print(f"seed {seed} {name}", results[name], flush=True)
+    return results
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="/tmp/phantom_benchmark")
@@ -289,10 +312,19 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=240)
     p.add_argument("--crop", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seeds", type=int, default=1,
+                   help="number of seeds: >1 runs the paired multi-seed "
+                        "study (each seed regenerates data AND reshuffles "
+                        "training) and reports mean±std + paired gains")
     p.add_argument("--report_weight", type=float, default=0.1,
                    help="report-loss weight (reference demo: 0.1)")
     p.add_argument("--contrast", type=float, nargs=2, default=(0.5, 1.6),
                    help="per-case tumor contrast range (lower = harder)")
+    p.add_argument("--mask_contrast", type=float, nargs=2, default=None,
+                   help="contrast slice the scarce CT-Mask cases are drawn "
+                        "from (default: upper 40%% of --contrast); narrow+"
+                        "high = the mask set cannot cover the appearance "
+                        "distribution, the R-Super data regime")
     p.add_argument("--radius", type=float, nargs=2, default=(3.0, 6.5),
                    help="tumor radius range in mm")
     args = p.parse_args(argv)
@@ -303,29 +335,41 @@ def main(argv=None):
     jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(args.out, exist_ok=True)
-    print("[phantom] generating dataset ...", flush=True)
-    generate(args.out, args.n_mask, args.n_report, args.n_test, seed=args.seed,
-             contrast_range=tuple(args.contrast), radius_range=tuple(args.radius))
+    per_seed = []
+    for s in range(args.seed, args.seed + args.seeds):
+        out = (args.out if args.seeds == 1
+               else os.path.join(args.out, f"seed{s}"))
+        per_seed.append(run_one_seed(out, args, s))
 
-    results = {}
-    for with_reports in (False, True):
-        name = "report" if with_reports else "mask_only"
-        print(f"[phantom] training {name} ({args.steps} steps) ...", flush=True)
-        model, params = train_variant(args.out, with_reports, args.steps,
-                                      seed=args.seed, crop=args.crop,
-                                      report_weight=args.report_weight)
-        print(f"[phantom] evaluating {name} ...", flush=True)
-        results[name] = evaluate(model, params, args.out, crop=args.crop)
-        print(name, results[name], flush=True)
+    def agg(arm, key):
+        vals = np.array([r[arm][key] for r in per_seed], np.float64)
+        return {"mean": float(vals.mean()), "std": float(vals.std()),
+                "values": [float(v) for v in vals]}
 
-    summary = {
-        "metric": "phantom_f1_report_vs_mask_only",
-        "mask_only": results["mask_only"],
-        "report": results["report"],
-        "f1_gain": results["report"]["f1"] - results["mask_only"]["f1"],
-        "dice_gain": results["report"]["lesion_dice"]
-        - results["mask_only"]["lesion_dice"],
+    gains = {
+        k: np.array([r["report"][k] - r["mask_only"][k] for r in per_seed])
+        for k in ("lesion_dice", "f1", "sensitivity")
     }
+    summary = {
+        "metric": "phantom_report_vs_mask_only",
+        "seeds": args.seeds,
+        "mask_only": {k: agg("mask_only", k)
+                      for k in ("lesion_dice", "f1", "sensitivity")},
+        "report": {k: agg("report", k)
+                   for k in ("lesion_dice", "f1", "sensitivity")},
+        # paired per-seed gains: both arms share each seed's data, so the
+        # data-draw variance cancels and the supervision effect remains
+        "paired_gain": {
+            k: {"mean": float(g.mean()), "std": float(g.std()),
+                "values": [float(v) for v in g]}
+            for k, g in gains.items()
+        },
+    }
+    if args.seeds == 1:
+        summary["mask_only"] = per_seed[0]["mask_only"]
+        summary["report"] = per_seed[0]["report"]
+        summary["f1_gain"] = float(gains["f1"][0])
+        summary["dice_gain"] = float(gains["lesion_dice"][0])
     print(json.dumps(summary))
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
