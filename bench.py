@@ -100,16 +100,44 @@ def smoke():
 
     # whole-plane concat mode (the 96³ stages)
     conv_case("conv_cf_plane_bf16", 8, 8, (8, 32, 32), jnp.bfloat16)
-    # whole-plane per-tap mode — the decoder's real 96³ configuration
-    # (concat-input conv: 64ch -> 32ch; 64-ch bf16 planes exceed the concat
-    # byte budget). NOTE Co=64 at this plane does NOT fit scoped VMEM
-    # (51.12M observed) — the kernel is validated for the shapes the models
-    # use, not arbitrary ones.
-    conv_case("conv_cf_pertap_bf16", 64, 32, (4, 96, 96), jnp.bfloat16)
+    # the decoder's 96³ concat-input conv (64ch -> 32ch): channels chunk to
+    # concat-capable sizes (plane-size-aware ceiling) — per-tap mode proved
+    # fragile against compiler scheduling (25-51M scoped VMEM observed)
+    conv_case("conv_cf_decoder_bf16", 64, 32, (4, 96, 96), jnp.bfloat16)
     # H-tiled mode — the 128³ path (plane > 96², W 128-divisible)
     conv_case("conv_cf_ht_bf16", 8, 8, (4, 128, 128), jnp.bfloat16)
     # H-tiled + channel chunking (the decoder's 96-ch concat input at 128³)
     conv_case("conv_cf_ht_chunked_bf16", 96, 32, (4, 128, 128), jnp.bfloat16)
+
+    def fused_case(name, C, Co, S, dtype):
+        x = jnp.asarray(rng.normal(size=(1, C, *S)), dtype)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, C, Co)) * 0.2, jnp.float32)
+
+        def run():
+            def f(x, w):
+                y = conv_cf.in_relu_conv3x3x3_cf(x, w, force_pallas=True)
+                return jnp.sum(y.astype(jnp.float32) ** 2), y
+
+            (loss, y), (gx, gw) = jax.value_and_grad(
+                f, argnums=(0, 1), has_aux=True
+            )(x, w)
+            ref = conv_cf._in_relu_conv_xla(x, w, 1e-4)
+            ref32 = ref.astype(jnp.float32)
+            err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref32)))
+            scale = max(1.0, float(jnp.max(jnp.abs(ref32))))
+            tol = (0.02 if dtype == jnp.bfloat16 else 1e-4) * scale
+            assert err < tol, f"fwd mismatch {err} (scale {scale})"
+            assert np.isfinite(float(loss))
+            assert np.isfinite(float(jnp.sum(gx.astype(jnp.float32))))
+            assert np.isfinite(float(jnp.sum(gw)))
+
+        check(name, run)
+
+    # fused IN+relu epilogue: whole-plane (full-res 96³ stage shape),
+    # H-tiled (128³), and the chunked decoder concat input
+    fused_case("fused_in_relu_plane_bf16", 8, 8, (8, 32, 32), jnp.bfloat16)
+    fused_case("fused_in_relu_ht_bf16", 8, 8, (4, 128, 128), jnp.bfloat16)
+    fused_case("fused_in_relu_chunked_bf16", 64, 32, (4, 96, 96), jnp.bfloat16)
 
     def topn():
         x = jnp.asarray(rng.normal(size=(2, 4096)), jnp.float32)

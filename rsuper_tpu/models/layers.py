@@ -433,14 +433,20 @@ class CFConv3(nn.Module):
     same ``kernel`` name, shape and init, so checkpoints transfer between the
     channels-last and channel-first execution paths. Give it ``name="Conv_0"``
     to occupy the exact slot flax would auto-assign to nn.Conv.
+
+    ``fuse_in_relu`` computes ``conv(relu(instance_norm(x)))`` with the
+    IN+relu epilogue fused into the kernel's row loads (the preact
+    ConvNormAct pattern) — the normalized activation never touches HBM.
     """
 
     features: int
+    fuse_in_relu: bool = False
+    eps: float = 1e-4
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.conv_cf import conv3x3x3_cf
+        from ..ops.conv_cf import conv3x3x3_cf, in_relu_conv3x3x3_cf
 
         kernel = self.param(
             "kernel",
@@ -448,6 +454,9 @@ class CFConv3(nn.Module):
             (3, 3, 3, x.shape[1], self.features),
             jnp.float32,
         )
+        if self.fuse_in_relu:
+            return in_relu_conv3x3x3_cf(x.astype(self.dtype), kernel,
+                                        eps=self.eps)
         return conv3x3x3_cf(x.astype(self.dtype), kernel)
 
 
@@ -491,6 +500,10 @@ class ConvNormActCF(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.preact and self.norm == "in" and self.act == "relu":
+            # fused epilogue: IN+relu applied inside the conv kernel
+            return CFConv3(self.features, fuse_in_relu=True,
+                           dtype=self.dtype, name="Conv_0")(x)
         conv = CFConv3(self.features, dtype=self.dtype, name="Conv_0")
         norm_fn = instance_norm_cf if self.norm == "in" else (lambda v: v)
         act_fn = make_act(self.act)

@@ -83,7 +83,20 @@ def _make_patch(rows, kd, kh, W):
     return jnp.concatenate([_shift_w(xk, kw, W) for kw in range(3)], axis=0)
 
 
-def _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t: int, TD: int):
+def _norm_relu_row(row, st_ref):
+    """Fused pre-activation epilogue on a (C, L) row: relu(x·scale + shift)
+    with per-channel f32 stats from the (1, 2, C, 1) stats block (scale =
+    1/σ, shift = −μ/σ — instance-norm). The (C, 1) → (C, L) lane broadcast
+    is a native VPU op; computing this at row-load time is what removes the
+    normalize/relu HBM round-trips between IN and conv (docs/perf.md lever 1)."""
+    scale = st_ref[0, 0]  # (C, 1) f32
+    shift = st_ref[0, 1]
+    v = row.astype(jnp.float32) * scale + shift
+    return jnp.maximum(v, 0.0).astype(row.dtype)
+
+
+def _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t: int, TD: int,
+                          st_ref=None):
     """Depth taps (d−1, d, d+1) for output row `t` of a TD-row tile, plus 0/1
     validity scalars for the clamped edge halos. Contributions are scaled
     AFTER the dot instead of zeroing row copies up front — at 128³
@@ -91,13 +104,18 @@ def _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t: int, TD: int):
     between fitting and blowing scoped VMEM.
 
     Interior rows (0 < t < TD−1) take all taps from the tile body; only the
-    tile's first/last rows touch the halo refs."""
+    tile's first/last rows touch the halo refs. With `st_ref` the rows pass
+    through the fused IN+relu epilogue (zero SAME-padding remains exact:
+    relu(norm(·)) pads with 0 in activation space, and edge contributions
+    are masked post-dot)."""
     d = pl.program_id(1)
     nd = pl.num_programs(1)
     one = jnp.float32(1.0)
     prev = xm_ref[0, t - 1] if t > 0 else _row(xp_ref)
     nxt = xm_ref[0, t + 1] if t < TD - 1 else _row(xn_ref)
     rows = [prev, xm_ref[0, t], nxt]
+    if st_ref is not None:
+        rows = [_norm_relu_row(r, st_ref) for r in rows]
     valids = [
         jnp.where(d == 0, 0.0, one) if t == 0 else one,
         one,
@@ -106,18 +124,24 @@ def _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t: int, TD: int):
     return rows, valids
 
 
-def _fwd_kernel(W: int, concat_kw: bool, TD: int, xp_ref, xm_ref, xn_ref,
-                w_ref, y_ref):
+def _fwd_kernel(W: int, concat_kw: bool, TD: int, fuse: bool, *args):
     """One (batch, TD-depth-row tile) program: y[co, s] = Σ W[kd,kh] @ patch.
 
     `concat_kw` picks the dot shape: kw-stacked K = 3·C_in dots (best MXU
     utilisation) when the (3·C_in, S) patch fits VMEM, else 27 per-tap
     K = C_in dots (no patch buffer — needed at 128³ where S = 16384 lanes
     blows the scoped-vmem budget). `TD` rows per grid step amortise grid and
-    halo overhead on small planes (48³ rows are only 0.3 MB)."""
+    halo overhead on small planes (48³ rows are only 0.3 MB). `fuse` adds a
+    stats ref and applies the IN+relu epilogue to rows at load time."""
+    if fuse:
+        xp_ref, xm_ref, xn_ref, st_ref, w_ref, y_ref = args
+    else:
+        xp_ref, xm_ref, xn_ref, w_ref, y_ref = args
+        st_ref = None
     Ci = xm_ref.shape[2]
     for t in range(TD):
-        rows, valids = _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t, TD)
+        rows, valids = _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t, TD,
+                                             st_ref)
         acc = None
         for kd in range(3):
             for kh in range(3):
@@ -147,10 +171,16 @@ def _fwd_kernel(W: int, concat_kw: bool, TD: int, xp_ref, xm_ref, xn_ref,
         y_ref[0, t] = acc.astype(y_ref.dtype)
 
 
-def _wgrad_kernel(W: int, concat_kw: bool, TD: int, xp_ref, xm_ref, xn_ref,
-                  dy_ref, dw_ref):
+def _wgrad_kernel(W: int, concat_kw: bool, TD: int, fuse: bool, *args):
     """Accumulate dw[kd, kh, co, 3·ci] += dy ⋅ patchᵀ over the sequential
-    grid (same patch construction / mode switch as the forward)."""
+    grid (same patch construction / mode switch as the forward). `fuse`
+    recomputes the IN+relu activation from raw x rows + stats, so the
+    activation tensor is never materialized for the weight gradient."""
+    if fuse:
+        xp_ref, xm_ref, xn_ref, st_ref, dy_ref, dw_ref = args
+    else:
+        xp_ref, xm_ref, xn_ref, dy_ref, dw_ref = args
+        st_ref = None
     b = pl.program_id(0)
     Ci = xm_ref.shape[2]
 
@@ -159,7 +189,8 @@ def _wgrad_kernel(W: int, concat_kw: bool, TD: int, xp_ref, xm_ref, xn_ref,
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
     for t in range(TD):
-        rows, valids = _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t, TD)
+        rows, valids = _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t, TD,
+                                             st_ref)
         dy = dy_ref[0, t]  # (Co, S)
         for kd in range(3):
             for kh in range(3):
@@ -198,20 +229,24 @@ def _shift_h_ht(body, hp, hn, k: int, W: int):
     return jnp.concatenate([body[:, W:], hn], axis=1)
 
 
-def _ht_rows(refs, h, nh):
+def _ht_rows(refs, h, nh, st_ref=None):
     """Unpack the 9 H-tiled data refs into per-depth (body, halo_prev,
     halo_next) rows with the h-edge halos zeroed. Because the MXU dot
     contracts only over channels, output lane l depends only on patch lane l
     — so zeroing the invalid halo LANES (not whole contributions) is exact at
-    the h = 0 / h = H−1 volume edges."""
+    the h = 0 / h = H−1 volume edges. With `st_ref`, rows pass through the
+    fused IN+relu epilogue BEFORE edge-zeroing (padding must be zero in
+    activation space)."""
     (xp, xm, xn, pp, pm, pn, qp, qm, qn) = refs
-    bodies = [_row(xp), _row(xm), _row(xn)]
+    norm = ((lambda r: _norm_relu_row(r, st_ref)) if st_ref is not None
+            else (lambda r: r))
+    bodies = [norm(_row(xp)), norm(_row(xm)), norm(_row(xn))]
     hps, hns = [], []
     for ref in (pp, pm, pn):
-        r = _row(ref)
+        r = norm(_row(ref))
         hps.append(jnp.where(h == 0, jnp.zeros_like(r), r))
     for ref in (qp, qm, qn):
-        r = _row(ref)
+        r = norm(_row(ref))
         hns.append(jnp.where(h == nh - 1, jnp.zeros_like(r), r))
     return bodies, hps, hns
 
@@ -221,17 +256,21 @@ def _depth_valids(d, nd):
     return [jnp.where(d == 0, 0.0, one), one, jnp.where(d == nd - 1, 0.0, one)]
 
 
-def _fwd_kernel_ht(W: int, *args):
+def _fwd_kernel_ht(W: int, fuse: bool, *args):
     """One (batch, depth-row, H-tile) program of the H-tiled forward:
     y[co, l] = Σ_{kd,kh} vd[kd] · W[kd,kh] @ patch[kd,kh][:, l].
 
     Exists because whole (C, H·W) planes blow the ~16 MB scoped-VMEM budget
     beyond ~96² in-plane voxels (observed at 128³ on v5e in every whole-plane
     dot mode) — H-tiles keep the working set at (C, TH·W)."""
-    *refs, w_ref, y_ref = args
+    if fuse:
+        *refs, st_ref, w_ref, y_ref = args
+    else:
+        *refs, w_ref, y_ref = args
+        st_ref = None
     d, nd = pl.program_id(1), pl.num_programs(1)
     h, nh = pl.program_id(2), pl.num_programs(2)
-    bodies, hps, hns = _ht_rows(refs, h, nh)
+    bodies, hps, hns = _ht_rows(refs, h, nh, st_ref)
     valids = _depth_valids(d, nd)
     acc = None
     for kd in range(3):
@@ -250,10 +289,14 @@ def _fwd_kernel_ht(W: int, *args):
     y_ref[0, 0] = acc.astype(y_ref.dtype)
 
 
-def _wgrad_kernel_ht(W: int, *args):
+def _wgrad_kernel_ht(W: int, fuse: bool, *args):
     """H-tiled wgrad: dw[kd, kh] += dy_tile ⋅ patchᵀ over the sequential
     (B, D, H/TH) grid."""
-    *refs, dy_ref, dw_ref = args
+    if fuse:
+        *refs, st_ref, dy_ref, dw_ref = args
+    else:
+        *refs, dy_ref, dw_ref = args
+        st_ref = None
     d, nd = pl.program_id(1), pl.num_programs(1)
     h, nh = pl.program_id(2), pl.num_programs(2)
 
@@ -261,7 +304,7 @@ def _wgrad_kernel_ht(W: int, *args):
     def _init():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    bodies, hps, hns = _ht_rows(refs, h, nh)
+    bodies, hps, hns = _ht_rows(refs, h, nh, st_ref)
     valids = _depth_valids(d, nd)
     dy = dy_ref[0, 0]  # (Co, TH·W)
     for kd in range(3):
@@ -372,18 +415,32 @@ def _prep_w(w):
 _CI_CHUNK = 64
 
 
-def _ci_chunk_for(dtype) -> int:
-    return _CI_CHUNK if jnp.dtype(dtype).itemsize <= 2 else 16
-
-
-# kw-concat patches cost an extra (3·C_in, S) VMEM buffer; above this byte
-# budget use per-tap dots (observed scoped-vmem OOM at 128³ / S = 16384 even
-# at C_in = 32 bf16; every 96³ bf16 shape stays in concat mode)
+# kw-concat patches cost an extra (3·C_in, S) VMEM buffer; the byte budget
+# below bounds a (C_in, S) input row so that concat mode always fits. The
+# 27-dot per-tap mode still exists as a fallback but is deliberately made
+# unreachable for supported shapes: its f32 row copies proved fragile
+# against compiler scheduling (the SAME Ci=64/96² bf16 graph that lowered
+# in round 2 now retains 25.81M scoped VMEM on a fresh compile) — chunking
+# channels down to concat-capable sizes is shape-for-shape reliable.
 _CONCAT_BUDGET = 900_000  # bytes of a (C_in, S) row
 
 
-def _ci_chunks(Ci: int, dtype):
-    cap = _ci_chunk_for(dtype)
+def _ci_chunk_for(dtype, S: int) -> int:
+    cap = max(16, _CONCAT_BUDGET // (S * jnp.dtype(dtype).itemsize))
+    return min(_CI_CHUNK, cap)
+
+
+def _ci_cap(dtype, H: int, W: int) -> int:
+    """Channel-chunk ceiling for an (H, W) plane: the H-tiled path's VMEM
+    footprint is per-TILE, so it keeps the full ceiling; whole-plane kernels
+    shrink it so every chunk is concat-capable."""
+    S = H * W
+    if S > _PLANE_LANES and _ht_supported(H, W):
+        return _CI_CHUNK
+    return _ci_chunk_for(dtype, S)
+
+
+def _ci_chunks(Ci: int, cap: int):
     n = -(-Ci // cap)
     size = -(-Ci // n)
     return [(s, min(size, Ci - s)) for s in range(0, Ci, size)]
@@ -394,15 +451,27 @@ def _ci_chunks(Ci: int, dtype):
 _PLANE_LANES = 96 * 96
 
 
-def _conv3_cf_pallas(x, w, interpret=False):
+def _stats_spec(Ci, n_grid: int):
+    """BlockSpec for the (B, 2, C, 1) fused-epilogue stats operand."""
+    if n_grid == 2:
+        return pl.BlockSpec((1, 2, Ci, 1), lambda b, d: (b, 0, 0, 0))
+    return pl.BlockSpec((1, 2, Ci, 1), lambda b, d, h: (b, 0, 0, 0))
+
+
+def _conv3_cf_pallas(x, w, interpret=False, stats=None):
+    """Forward kernels; `stats` (B, 2, C_in, 1) f32 enables the fused
+    IN+relu epilogue (y = conv(relu(x·scale + shift)))."""
     B, Ci, D, H, W = x.shape
     Co = w.shape[-1]
     S = H * W
-    if Ci > _ci_chunk_for(x.dtype):
+    cap = _ci_cap(x.dtype, H, W)
+    if Ci > cap:
         out = None
-        for s, n in _ci_chunks(Ci, x.dtype):
-            part = _conv3_cf_pallas(x[:, s : s + n], w[:, :, :, s : s + n],
-                                    interpret)
+        for s, n in _ci_chunks(Ci, cap):
+            part = _conv3_cf_pallas(
+                x[:, s : s + n], w[:, :, :, s : s + n], interpret,
+                None if stats is None else stats[:, :, s : s + n],
+            )
             # f32 partial sum: bf16 chunk outputs round once in the kernel;
             # summing them in bf16 again costs ~2 extra ulp (seen on v5e)
             part = part.astype(jnp.float32)
@@ -410,71 +479,81 @@ def _conv3_cf_pallas(x, w, interpret=False):
         return out.astype(x.dtype)
     xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B, D, Ci, S)
     w_prep = _prep_w(w).astype(x.dtype)
+    fuse = stats is not None
+    st = (stats.astype(jnp.float32),) if fuse else ()
     if S > _PLANE_LANES:
         TH = _pick_th(H, W, max(Ci, Co))
+        st_specs = [_stats_spec(Ci, 3)] if fuse else []
         out = pl.pallas_call(
-            functools.partial(_fwd_kernel_ht, W),
+            functools.partial(_fwd_kernel_ht, W, fuse),
             grid=(B, D, H // TH),
-            in_specs=_halo_specs_ht(Ci, D, H, W, TH)
+            in_specs=_halo_specs_ht(Ci, D, H, W, TH) + st_specs
             + [pl.BlockSpec((3, 3, Co, 3 * Ci),
                             lambda b, d, h: (0, 0, 0, 0))],
             out_specs=pl.BlockSpec((1, 1, Co, TH * W),
                                    lambda b, d, h: (b, d, 0, h)),
             out_shape=jax.ShapeDtypeStruct((B, D, Co, S), x.dtype),
             interpret=interpret,
-        )(*([xf] * 9), w_prep)
+        )(*([xf] * 9), *st, w_prep)
         return jnp.transpose(out.reshape(B, D, Co, H, W), (0, 2, 1, 3, 4))
     concat_kw = S * Ci * x.dtype.itemsize <= _CONCAT_BUDGET
     TD = _pick_td(D, S, max(Ci, Co), concat_kw, x.dtype.itemsize)
+    st_specs = [_stats_spec(Ci, 2)] if fuse else []
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, W, concat_kw, TD),
+        functools.partial(_fwd_kernel, W, concat_kw, TD, fuse),
         grid=(B, D // TD),
-        in_specs=_halo_specs(Ci, D, S, TD)
+        in_specs=_halo_specs(Ci, D, S, TD) + st_specs
         + [pl.BlockSpec((3, 3, Co, 3 * Ci), lambda b, d: (0, 0, 0, 0))],
         out_specs=pl.BlockSpec((1, TD, Co, S), lambda b, d: (b, d, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, D, Co, S), x.dtype),
         interpret=interpret,
-    )(xf, xf, xf, w_prep)
+    )(xf, xf, xf, *st, w_prep)
     return jnp.transpose(out.reshape(B, D, Co, H, W), (0, 2, 1, 3, 4))
 
 
-def _wgrad_pallas(x, dy, Co, interpret=False):
+def _wgrad_pallas(x, dy, Co, interpret=False, stats=None):
     B, Ci, D, H, W = x.shape
     S = H * W
-    if Ci > _ci_chunk_for(x.dtype):
+    cap = _ci_cap(x.dtype, H, W)
+    if Ci > cap:
         return jnp.concatenate(
-            [_wgrad_pallas(x[:, s : s + n], dy, Co, interpret)
-             for s, n in _ci_chunks(Ci, x.dtype)],
+            [_wgrad_pallas(x[:, s : s + n], dy, Co, interpret,
+                           None if stats is None else stats[:, :, s : s + n])
+             for s, n in _ci_chunks(Ci, cap)],
             axis=3,
         )
     xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B, D, Ci, S)
     dyf = jnp.transpose(dy, (0, 2, 1, 3, 4)).reshape(B, D, Co, S)
+    fuse = stats is not None
+    st = (stats.astype(jnp.float32),) if fuse else ()
     if S > _PLANE_LANES:
         TH = _pick_th(H, W, max(Ci, Co))
+        st_specs = [_stats_spec(Ci, 3)] if fuse else []
         dw = pl.pallas_call(
-            functools.partial(_wgrad_kernel_ht, W),
+            functools.partial(_wgrad_kernel_ht, W, fuse),
             grid=(B, D, H // TH),
-            in_specs=_halo_specs_ht(Ci, D, H, W, TH)
+            in_specs=_halo_specs_ht(Ci, D, H, W, TH) + st_specs
             + [pl.BlockSpec((1, 1, Co, TH * W),
                             lambda b, d, h: (b, d, 0, h))],
             out_specs=pl.BlockSpec((3, 3, Co, 3 * Ci),
                                    lambda b, d, h: (0, 0, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((3, 3, Co, 3 * Ci), jnp.float32),
             interpret=interpret,
-        )(*([xf] * 9), dyf)
+        )(*([xf] * 9), *st, dyf)
         dw = dw.reshape(3, 3, Co, 3, Ci)
         return jnp.transpose(dw, (0, 1, 3, 4, 2))
-    concat_kw = S * max(Ci, Co) * x.dtype.itemsize <= _CONCAT_BUDGET
+    concat_kw = S * Ci * x.dtype.itemsize <= _CONCAT_BUDGET
     TD = _pick_td(D, S, max(Ci, Co), concat_kw, x.dtype.itemsize)
+    st_specs = [_stats_spec(Ci, 2)] if fuse else []
     dw = pl.pallas_call(
-        functools.partial(_wgrad_kernel, W, concat_kw, TD),
+        functools.partial(_wgrad_kernel, W, concat_kw, TD, fuse),
         grid=(B, D // TD),
-        in_specs=_halo_specs(Ci, D, S, TD)
+        in_specs=_halo_specs(Ci, D, S, TD) + st_specs
         + [pl.BlockSpec((1, TD, Co, S), lambda b, d: (b, d, 0, 0))],
         out_specs=pl.BlockSpec((3, 3, Co, 3 * Ci), lambda b, d: (0, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((3, 3, Co, 3 * Ci), jnp.float32),
         interpret=interpret,
-    )(xf, xf, xf, dyf)
+    )(xf, xf, xf, *st, dyf)
     # (kd, kh, co, kw*ci) → flax layout (kd, kh, kw, ci, co)
     dw = dw.reshape(3, 3, Co, 3, Ci)
     return jnp.transpose(dw, (0, 1, 3, 4, 2))
@@ -538,3 +617,78 @@ def conv3x3x3_cf(x, w, force_pallas: bool = False, interpret: bool = False):
     if (force_pallas or jax.default_backend() == "tpu") and ok:
         return _conv3_cf(x, w.astype(x.dtype), interpret)
     return _conv3_cf_xla(x, w.astype(x.dtype))
+
+
+# ------------------------------------------------------- fused IN+relu+conv
+def _in_stats_cf(x, eps: float):
+    """Instance-norm stats of channel-first x, packed for the fused kernels:
+    (B, 2, C, 1) f32 with [:, 0] = 1/σ and [:, 1] = −μ/σ, so the in-kernel
+    epilogue is one multiply-add per element. One fused XLA reduction sweep."""
+    x32 = x.astype(jnp.float32)
+    n = x.shape[2] * x.shape[3] * x.shape[4]
+    s1 = jnp.sum(x32, axis=(2, 3, 4))
+    s2 = jnp.sum(x32 * x32, axis=(2, 3, 4))
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    return jnp.stack([inv, -mean * inv], axis=1)[..., None]  # (B, 2, C, 1)
+
+
+def _in_relu_conv_bwd_xla(x, stats, da):
+    """relu + instance-norm backward in XLA (closed form):
+    dx = inv · (g − E[g] − x̂·E[g·x̂]) with g = da ⊙ 1[x̂ > 0]."""
+    scale = stats[:, 0, :, 0][:, :, None, None, None]
+    shift = stats[:, 1, :, 0][:, :, None, None, None]
+    x32 = x.astype(jnp.float32)
+    xh = x32 * scale + shift
+    g = da.astype(jnp.float32) * (xh > 0)
+    m1 = jnp.mean(g, axis=(2, 3, 4), keepdims=True)
+    m2 = jnp.mean(g * xh, axis=(2, 3, 4), keepdims=True)
+    return (scale * (g - m1 - xh * m2)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _in_relu_conv(x, w, eps: float, interpret: bool):
+    stats = _in_stats_cf(x, eps)
+    return _conv3_cf_pallas(x, w, interpret, stats)
+
+
+def _in_relu_conv_fwd(x, w, eps, interpret):
+    stats = _in_stats_cf(x, eps)
+    return _conv3_cf_pallas(x, w, interpret, stats), (x, w, stats)
+
+
+def _in_relu_conv_bwd(eps, interpret, res, dy):
+    x, w, stats = res
+    da = _conv3_cf_pallas(dy, _flip_w(w).astype(dy.dtype), interpret)
+    dw = _wgrad_pallas(x, dy, w.shape[-1], interpret, stats)
+    dx = _in_relu_conv_bwd_xla(x, stats, da)
+    return dx, dw.astype(w.dtype)
+
+
+_in_relu_conv.defvjp(_in_relu_conv_fwd, _in_relu_conv_bwd)
+
+
+def _in_relu_conv_xla(x, w, eps: float):
+    """Reference semantics for non-TPU backends: IN → relu → SAME conv,
+    channel-first."""
+    stats = _in_stats_cf(x, eps)
+    scale = stats[:, 0, :, 0][:, :, None, None, None]
+    shift = stats[:, 1, :, 0][:, :, None, None, None]
+    a = jnp.maximum(x.astype(jnp.float32) * scale + shift, 0.0).astype(x.dtype)
+    return _conv3_cf_xla(a, w.astype(x.dtype))
+
+
+def in_relu_conv3x3x3_cf(x, w, eps: float = 1e-4, force_pallas: bool = False,
+                         interpret: bool = False):
+    """Fused pre-activation block: ``conv3x3x3_cf(relu(instance_norm(x)), w)``
+    in one kernel pass over x (plus one XLA stats reduction) — the normalized
+    activation tensor is never written to HBM, forward or backward
+    (docs/perf.md lever 1: the remaining full-res elementwise passes were
+    pure bandwidth). Matches ``ConvNormActCF`` preact semantics (IN eps 1e-4,
+    no affine, relu; reference ``conv_layers.py:16-54``)."""
+    H, W = x.shape[3], x.shape[4]
+    ok = cf_plane_supported(H, W, x.dtype.itemsize)
+    if (force_pallas or jax.default_backend() == "tpu") and ok:
+        return _in_relu_conv(x, w.astype(x.dtype), eps, interpret)
+    return _in_relu_conv_xla(x, w, eps)

@@ -451,6 +451,65 @@ class TestConvCF:
         )
         np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-4)
 
+    def _fused_golden(self, x_cf, w, eps=1e-4):
+        """Unfused reference: channel-first IN (no affine) → relu → conv."""
+        import jax
+
+        from rsuper_tpu.models.layers import instance_norm_cf
+        from rsuper_tpu.ops.conv_cf import _conv3_cf_xla
+
+        a = jax.nn.relu(instance_norm_cf(x_cf, eps))
+        return _conv3_cf_xla(a, w)
+
+    @pytest.mark.parametrize("ht", [False, True])
+    def test_fused_in_relu_conv_matches_unfused(self, monkeypatch, ht):
+        """Fused IN+relu+conv epilogue (whole-plane and H-tiled kernels):
+        forward and both grads vs the unfused norm→relu→conv chain."""
+        import jax
+
+        from rsuper_tpu.ops import conv_cf
+
+        if ht:
+            monkeypatch.setattr(conv_cf, "_PLANE_LANES", 0)
+            monkeypatch.setattr(conv_cf, "_pick_th", lambda H, W, C: 2)
+            x_cl, w = self._setup(B=2, C=4, Co=6, S=(4, 6, 128), seed=7)
+        else:
+            x_cl, w = self._setup(B=2, C=8, Co=8, S=(6, 8, 10), seed=7)
+        x_cf = jnp.moveaxis(x_cl, -1, 1)
+
+        got = conv_cf.in_relu_conv3x3x3_cf(x_cf, w, force_pallas=True,
+                                           interpret=True)
+        want = self._fused_golden(x_cf, w)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+        def f(fused):
+            def g(x, w):
+                if fused:
+                    y = conv_cf.in_relu_conv3x3x3_cf(
+                        x, w, force_pallas=True, interpret=True)
+                else:
+                    y = self._fused_golden(x, w)
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+            return g
+
+        gx_p, gw_p = jax.grad(f(True), argnums=(0, 1))(x_cf, w)
+        gx_x, gw_x = jax.grad(f(False), argnums=(0, 1))(x_cf, w)
+        np.testing.assert_allclose(gx_p, gx_x, rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(gw_p, gw_x, rtol=1e-4, atol=1e-2)
+
+    def test_fused_in_relu_conv_chunked(self, monkeypatch):
+        """Fused epilogue through the channel-chunk path: stats slice per
+        chunk (per-channel normalisation is chunk-independent)."""
+        from rsuper_tpu.ops import conv_cf
+
+        monkeypatch.setattr(conv_cf, "_CI_CHUNK", 8)
+        x_cl, w = self._setup(B=1, C=12, Co=4, S=(3, 4, 8), seed=8)
+        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        got = conv_cf.in_relu_conv3x3x3_cf(x_cf, w, force_pallas=True,
+                                           interpret=True)
+        np.testing.assert_allclose(got, self._fused_golden(x_cf, w),
+                                   atol=1e-3)
+
     def test_pallas_gradients_match_xla(self):
         import jax
 

@@ -327,12 +327,25 @@ def main(argv=None):
                         "distribution, the R-Super data regime")
     p.add_argument("--radius", type=float, nargs=2, default=(3.0, 6.5),
                    help="tumor radius range in mm")
+    p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
+                   help="'tpu' leaves the sitecustomize's TPU platform in "
+                        "place (run with PYTHONPATH incl. the axon site): "
+                        "~15 s/step on this 1-core host drops to device "
+                        "speed, and the graphs cache across seeds/arms")
     args = p.parse_args(argv)
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/repo/.jax_cache" if args.platform == "tpu"
+                          else "/root/repo/.jax_cache_cpu")
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(args.out, exist_ok=True)
     per_seed = []
