@@ -382,14 +382,18 @@ def _halo_specs(Ci, D, S, TD):
     ]
 
 
-def _pick_td(D: int, S: int, Cmax: int, concat_kw: bool, itemsize: int) -> int:
+def _pick_td(D: int, S: int, Cmax: int, concat_kw: bool, itemsize: int,
+             streams: int = 1) -> int:
     """Rows per grid step: amortise grid/halo overhead on small planes while
-    keeping the tile body ≲2.5 MB of VMEM (the pipeline double-buffers it).
-    Per-tap mode (huge planes) stays at 1 row."""
+    keeping the streamed tile bytes ≲2.5 MB of VMEM (the pipeline
+    double-buffers them). `streams` counts the TD-sized operands — the wgrad
+    streams body + dy, and ignoring the second stream put its 64³ tile 304K
+    over the scoped budget at 128³ (observed on v5e). Per-tap mode stays at
+    1 row."""
     if not concat_kw:
         return 1
     for td in (8, 4, 2):
-        if D % td == 0 and td * S * Cmax * itemsize <= 2_500_000:
+        if D % td == 0 and streams * td * S * Cmax * itemsize <= 2_500_000:
             return td
     return 1
 
@@ -472,11 +476,12 @@ def _conv3_cf_pallas(x, w, interpret=False, stats=None):
                 x[:, s : s + n], w[:, :, :, s : s + n], interpret,
                 None if stats is None else stats[:, :, s : s + n],
             )
-            # f32 partial sum: bf16 chunk outputs round once in the kernel;
-            # summing them in bf16 again costs ~2 extra ulp (seen on v5e)
-            part = part.astype(jnp.float32)
+            # partial sums stay in x.dtype: f32 partials doubled the write
+            # bandwidth of every chunked conv (113 MB/partial at 96³ full
+            # res) and cost ~3% of the whole train step; the ~2-ulp bf16
+            # re-rounding is noise at training precision
             out = part if out is None else out + part
-        return out.astype(x.dtype)
+        return out
     xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B, D, Ci, S)
     w_prep = _prep_w(w).astype(x.dtype)
     fuse = stats is not None
@@ -543,7 +548,7 @@ def _wgrad_pallas(x, dy, Co, interpret=False, stats=None):
         dw = dw.reshape(3, 3, Co, 3, Ci)
         return jnp.transpose(dw, (0, 1, 3, 4, 2))
     concat_kw = S * Ci * x.dtype.itemsize <= _CONCAT_BUDGET
-    TD = _pick_td(D, S, max(Ci, Co), concat_kw, x.dtype.itemsize)
+    TD = _pick_td(D, S, max(Ci, Co), concat_kw, x.dtype.itemsize, streams=2)
     st_specs = [_stats_spec(Ci, 2)] if fuse else []
     dw = pl.pallas_call(
         functools.partial(_wgrad_kernel, W, concat_kw, TD, fuse),

@@ -55,9 +55,21 @@ def dump_config(exp_dir: str, cfg) -> None:
 
 
 class MetricsLogger:
-    def __init__(self, exp_dir: str):
+    """JSONL scalars + TensorBoard event file (both always on: the TB writer
+    is dependency-free, ``utils/tb_events.py`` — reference
+    ``train_ddp.py:138,387-389`` SummaryWriter parity)."""
+
+    def __init__(self, exp_dir: str, tensorboard: bool = True):
         os.makedirs(exp_dir, exist_ok=True)
         self.path = os.path.join(exp_dir, f"metrics{_rank_suffix()}.jsonl")
+        self.tb = None
+        if tensorboard:
+            try:
+                from .tb_events import EventWriter
+
+                self.tb = EventWriter(os.path.join(exp_dir, "tb"))
+            except Exception:  # pragma: no cover - never block training on TB
+                self.tb = None
 
     def log(self, step: int, values: Dict[str, Any], prefix: str = ""):
         rec = {"step": int(step), "time": time.time()}
@@ -69,3 +81,8 @@ class MetricsLogger:
                 rec[key] = v
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self.tb is not None:
+            for k, v in rec.items():
+                if k in ("step", "time") or not isinstance(v, float):
+                    continue
+                self.tb.add_scalar(k, v, step)

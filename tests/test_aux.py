@@ -482,3 +482,47 @@ def test_organ_synonym_breadth():
     assert standardize_organ("common bile duct") == "bile_duct"
     assert standardize_organ("uncinate process") == "pancreas"
     assert standardize_organ("u") is None
+
+
+def test_tb_event_writer(tmp_path):
+    """TensorBoard event-file parity (reference train_ddp.py SummaryWriter):
+    crc32c against the standard check value, TFRecord framing round-trip,
+    and protobuf fields decodable."""
+    import struct
+
+    from rsuper_tpu.utils.tb_events import EventWriter, _masked_crc, crc32c
+
+    assert crc32c(b"123456789") == 0xE3069283  # RFC 3720 check value
+
+    w = EventWriter(str(tmp_path))
+    w.add_scalar("loss", 0.5, step=3)
+    w.add_scalar("val/dice_mean", 0.9, step=4)
+
+    data = open(w.path, "rb").read()
+    records = []
+    off = 0
+    while off < len(data):
+        (length,) = struct.unpack_from("<Q", data, off)
+        (hcrc,) = struct.unpack_from("<I", data, off + 8)
+        assert hcrc == _masked_crc(data[off : off + 8])
+        payload = data[off + 12 : off + 12 + length]
+        (pcrc,) = struct.unpack_from("<I", data, off + 12 + length)
+        assert pcrc == _masked_crc(payload)
+        records.append(payload)
+        off += 12 + length + 4
+    assert len(records) == 3
+    assert b"brain.Event:2" in records[0]
+    assert b"loss" in records[1]
+    # float bytes of 0.5 appear in the scalar summary
+    assert struct.pack("<f", 0.5) in records[1]
+    assert b"val/dice_mean" in records[2]
+
+
+def test_metrics_logger_writes_tb(tmp_path):
+    from rsuper_tpu.utils import MetricsLogger
+
+    m = MetricsLogger(str(tmp_path))
+    m.log(1, {"loss": 0.25})
+    tb_files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+    assert len(tb_files) == 1 and tb_files[0].stat().st_size > 0
+    assert (tmp_path / "metrics.jsonl").exists()
