@@ -165,3 +165,132 @@ def parse_lesion_answer(answer: str) -> List[Dict[str, str]]:
             "no_lesion": "0",
         })
     return out
+
+
+def parse_hcc(answer: str, organ: str = "liver") -> Dict[str, Dict[str, str]]:
+    """The reference's 'HCC' step (``extract_liver_tumors``,
+    RadGPT.py:1363-1446): per-tumor LI-RADS fields. Tolerant variant: missing
+    fields become 'u' instead of raising (the reference retries the LLM on a
+    ValueError; a resumable pipeline prefers degraded rows)."""
+    text = _strip_think(answer)
+    chunks = re.split(rf"(?i)(?=(?:{re.escape(organ)}\s+tumor\s+\d+:))", text)
+    out: Dict[str, Dict[str, str]] = {}
+    fields = ("type", "certainty", "size", "location",
+              "arterial enhancement", "washout", "capsule",
+              "threshold growth", "LI-RADS")
+    for chunk in chunks:
+        m = re.match(rf"(?i){re.escape(organ)}\s+tumor\s+(\d+):", chunk.strip())
+        if not m:
+            continue
+        rec = {}
+        for f in fields:
+            fm = re.search(rf"{re.escape(f)}\s*=\s*([^;\n]+)[;\n]", chunk,
+                           re.IGNORECASE)
+            rec[f] = fm.group(1).strip() if fm else "u"
+        if "multiple" in rec["size"].lower():
+            rec["size"] = "multiple"
+        else:
+            mm = _max_size_mm(rec["size"])
+            rec["size"] = "u" if mm is None else f"{mm:g}"
+        out[f"{organ} tumor {m.group(1)}"] = rec
+    return out
+
+
+def parse_diagnoses(answer: str):
+    """The reference's 'diagnoses' step (RadGPT.py:1562-1578): the bracketed
+    abnormality list after 'abnormalities ='. Returns a list of strings (the
+    reference returns the raw bracketed string)."""
+    text = _strip_think(answer)
+    for marker in ("abnormalities =", "abnormalities="):
+        if marker in text:
+            start = text.rfind(marker) + len(marker)
+            break
+    else:
+        start = text.find("[")
+        if start < 0:
+            return None
+    end = text.rfind("]", start) + 1
+    raw = text[start:end].strip()
+    if not raw.startswith("["):
+        b = raw.find("[")
+        if b < 0:
+            return None
+        raw = raw[b:]
+    items = re.findall(r"['\"]([^'\"]+)['\"]", raw)
+    return [i.strip() for i in items]
+
+
+def parse_synonyms(answer: str):
+    """The reference's 'synonyms' step (RadGPT.py:1580-1592): the {...} dict
+    string after 'synonyms ='. Returns {term: [synonyms]} via a guarded
+    literal_eval (the reference returns the raw braces string)."""
+    import ast
+
+    text = _strip_think(answer)
+    for marker in ("synonyms =", "synonyms="):
+        if marker in text:
+            start = text.rfind(marker) + len(marker)
+            break
+    else:
+        start = text.find("{")
+        if start < 0:
+            return None
+    end = text.rfind("}", start) + 1
+    raw = text[start:end].strip()
+    b = raw.find("{")
+    if b < 0:
+        return None
+    try:
+        val = ast.literal_eval(raw[b:])
+        return val if isinstance(val, dict) else None
+    except (ValueError, SyntaxError):
+        return None
+
+
+def parse_longitudinal(answer: str) -> Dict[str, object]:
+    """'longitudinal pancreas' (RadGPT.py:1594-1603): which report index is
+    the first diagnosis and which precede it."""
+    text = _strip_think(answer)
+    first = re.search(
+        r"first diagnosis report\s*[=:]\s*(\d+|none)(?=[;\n.]|$)",
+        text, re.IGNORECASE)
+    pre = re.search(
+        r"pre-diagnosis reports\s*[=:]\s*([\d,\s]+|none)(?=[;\n.]|$)",
+        text, re.IGNORECASE)
+    return {
+        "First Diagnosis Report": first.group(1) if first else None,
+        "Pre-Diagnosis Reports": pre.group(1).strip() if pre else None,
+    }
+
+
+def parse_longitudinal_diagnosis(answer: str):
+    """'longitudinal pancreas diagnosis' (RadGPT.py:1605-1614): the
+    'tumor types:' line."""
+    m = re.search(r"tumor types\s*:\s*(.*?)(?=$|\n)", _strip_think(answer),
+                  re.IGNORECASE)
+    return {"Tumor Types": m.group(1).strip()} if m else None
+
+
+def parse_refine_normal_pancreas(answer: str, strict: bool = False):
+    """'refine normal pancreas' (+' 2') (RadGPT.py:1600-1628): the LLM's
+    include/exclude screening decision (+ confidence / human-review flags in
+    the full variant)."""
+    text = _strip_think(answer)
+    pats = {
+        "Decision": r"^[\s]*[-*•]?\s*decision\s*[:=\-]\s*(exclude|include)",
+        "Confidence": r"^\s*confidence\s*[:=\-]\s*(high|medium|low)",
+        "Human Review Needed":
+            r"^\s*human\s+review\s+required\s*[:=\-]\s*(yes|no)",
+    }
+    keys = ("Decision",) if strict else tuple(pats)
+    out = {}
+    for k in keys:
+        m = re.search(pats[k], text, re.IGNORECASE | re.MULTILINE)
+        out[k] = m.group(1).strip().capitalize() if m else None
+    return out
+
+
+def parse_matching_reports(answer: str) -> Dict[str, object]:
+    """'find matching reports' (RadGPT.py:1469-1470): same-report yes/no."""
+    pat = r"same report\s*[=:]\s*.*?(?:;|$|,|/|yes|no)"
+    return {"Matching Reports": _yes_no_u(pat, _strip_think(answer))}

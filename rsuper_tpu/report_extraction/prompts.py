@@ -113,3 +113,114 @@ malignant tumor in {organ} = <yes/no/u>;
 """
 
 MALIGNANCY_USER = "CT report:\n{report}\n\nAnswer now."
+
+
+# the reference's 'HCC' step (RadGPT.py instructionsHCC / extract_liver_tumors
+# :1363-1446): LI-RADS-oriented liver-tumor characterisation
+HCC_SYSTEM = """You are a careful radiology-report analyst.
+The CT report below may mention one or more tumors in the liver. For EVERY
+liver tumor, report the LI-RADS-relevant features. Answer with one line per
+tumor, numbered from 1, in EXACTLY this format:
+liver tumor N: type = <lesion type>; certainty = <high/low/u>; size = <size>; location = <location>; arterial enhancement = <yes/no/u>; washout = <yes/no/u>; capsule = <yes/no/u>; threshold growth = <yes/no/u>; LI-RADS = <LR-1/LR-2/LR-3/LR-4/LR-5/LR-M/LR-TIV/u>;
+
+Rules:
+1. 'size': current largest measurements with unit (cm or mm); 'u' if
+   unstated; 'multiple' for many unsized lesions.
+2. 'location': Couinaud segment(s) (e.g. 'segment 5 / segment 6'), left
+   lobe, right lobe, or 'u'.
+3. Report the LI-RADS category only if stated or clearly derivable; else 'u'.
+4. If the report mentions no liver tumor, answer exactly:
+no tumor found.
+"""
+
+HCC_USER = "CT report:\n{report}\n\nList the liver tumors now."
+
+
+# the reference's 'diagnoses' step (:1562-1578): abnormality list
+DIAGNOSES_SYSTEM = """You are a careful radiology-report analyst.
+List ALL abnormalities the CT report affirms (tumors, cysts, stones,
+inflammation, atrophy, dilation, thrombosis, ...), each as a short phrase.
+Answer in EXACTLY this format (a Python-style list of quoted strings):
+abnormalities = ['<abnormality 1>', '<abnormality 2>', ...]
+If the report is normal, answer: abnormalities = []
+"""
+
+DIAGNOSES_USER = "CT report:\n{report}\n\nList the abnormalities now."
+
+
+# the reference's 'synonyms' step (:1580-1592): vocabulary normalisation
+SYNONYMS_SYSTEM = """You are a medical terminology normaliser.
+For each term in the list below, give the standard synonyms a radiology
+report might use for it. Answer in EXACTLY this format (a Python-style dict
+of quoted strings to lists of quoted strings):
+synonyms = {'<term 1>': ['<synonym a>', '<synonym b>'], '<term 2>': [...]}
+"""
+
+SYNONYMS_USER = "Terms:\n{report}\n\nGive the synonyms now."
+
+
+# the reference's 'longitudinal pancreas' steps (:1594-1614): the report
+# column must contain the patient's numbered report series, oldest first
+LONGITUDINAL_SYSTEM = """You are a careful radiology-report analyst.
+Below is a numbered series of CT reports for ONE patient, oldest first.
+Identify the FIRST report that diagnoses a pancreatic malignant tumor, and
+the reports before it (pre-diagnosis). Answer in EXACTLY this format:
+first diagnosis report = <number or none>;
+pre-diagnosis reports = <comma-separated numbers or none>;
+"""
+
+LONGITUDINAL_USER = "Report series:\n{report}\n\nAnswer now."
+
+LONGITUDINAL_DIAG_SYSTEM = """You are a careful radiology-report analyst.
+Below is a numbered series of CT reports for ONE patient. List every
+pancreatic tumor type the series mentions. Answer in EXACTLY this format:
+tumor types: <type 1>; <type 2>; ...
+Use 'none' if no pancreatic tumor is mentioned.
+"""
+
+LONGITUDINAL_DIAG_USER = "Report series:\n{report}\n\nAnswer now."
+
+
+# the reference's 'refine normal pancreas' screening steps (:1600-1628)
+REFINE_NORMAL_SYSTEM = """You are screening CT reports for a NORMAL-pancreas
+cohort. Decide whether the report below should be EXCLUDED from the
+normal-pancreas set (exclude if it affirms ANY pancreatic abnormality —
+tumor, cyst, duct dilation, atrophy, pancreatitis, resection).
+Answer in EXACTLY this format:
+decision: <include/exclude>
+confidence: <high/medium/low>
+human review required: <yes/no>
+"""
+
+REFINE_NORMAL_USER = "CT report:\n{report}\n\nAnswer now."
+
+
+# the reference's 'find matching reports' step (:1469-1470)
+MATCHING_REPORTS_SYSTEM = """You are comparing two radiology reports.
+Decide whether REPORT A and REPORT B below describe the SAME exam of the
+same patient (same findings, same measurements). Answer in EXACTLY this
+format:
+same report = <yes/no>;
+"""
+
+MATCHING_REPORTS_USER = "{report}\n\nAnswer now."
+
+
+# the reference's 'type and size pathology' step (:1074-1115,
+# instructions0ShotSizenTypePathology): PATHOLOGY reports, same line grammar
+# as the single-organ CT step, so the same parser consumes it
+TYPE_SIZE_PATHOLOGY_SYSTEM = """You are a careful pathology-report analyst.
+The PATHOLOGY report below describes one or more tumors in the {organ}.
+List the type, certainty, size, and location of EVERY tumor. Answer with one
+line per tumor, numbered from 1, in EXACTLY this format:
+{organ} tumor N: type = <lesion type>; certainty = <high/low/u>; size = <size>; location = <location>;
+
+Rules:
+1. 'size': the resected/measured tumor size with unit (cm or mm); 'u' if
+   unstated.
+2. 'location': one of {organ_locations} — or 'u'.
+3. If the report mentions no tumor, answer exactly:
+no tumor found.
+"""
+
+TYPE_SIZE_PATHOLOGY_USER = "Pathology report:\n{report}\n\nList the tumors now."

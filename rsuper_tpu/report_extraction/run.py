@@ -22,6 +22,8 @@ import pandas as pd
 
 from .client import LLMClient
 from .metadata import build_per_ct_csv, build_per_tumor_csv
+from . import parse as P
+from . import prompts as PR
 from .parse import (
     parse_lesion_answer,
     parse_malignancy,
@@ -29,31 +31,31 @@ from .parse import (
     parse_single_organ_lesions,
     parse_tumor_detection,
 )
-from .prompts import (
-    LESION_EXTRACTION_SYSTEM,
-    LESION_EXTRACTION_USER,
-    MALIGNANCY_SYSTEM,
-    MALIGNANCY_USER,
-    MALIGNANT_SIZE_SYSTEM,
-    MALIGNANT_SIZE_USER,
-    ORGAN_LOCATIONS,
-    TUMOR_DETECTION_SYSTEM,
-    TUMOR_DETECTION_USER,
-    TYPE_SIZE_ORGAN_SYSTEM,
-    TYPE_SIZE_ORGAN_USER,
-)
+from .prompts import ORGAN_LOCATIONS
 
 # extraction steps mirrored from the reference's RadGPT prompt library
-# (``get_instuctions``): 'type and size multi-organ' is the R-Super training
-# step; detection/malignancy are the screening steps used for eval cohorts;
-# type_and_size_organ / malignant_size are the per-organ workflow steps
-# (RadGPT.py:1485,1319)
+# (``get_instuctions`` / ``interpret_output``): 'type and size multi-organ'
+# is the R-Super training step; the rest are the screening / per-organ /
+# research workflow steps (full RadGPT step parity — see docs/parity.md)
 STEPS = {
-    "type_and_size": (LESION_EXTRACTION_SYSTEM, LESION_EXTRACTION_USER),
-    "tumor_detection": (TUMOR_DETECTION_SYSTEM, TUMOR_DETECTION_USER),
-    "malignancy": (MALIGNANCY_SYSTEM, MALIGNANCY_USER),
-    "type_and_size_organ": (TYPE_SIZE_ORGAN_SYSTEM, TYPE_SIZE_ORGAN_USER),
-    "malignant_size": (MALIGNANT_SIZE_SYSTEM, MALIGNANT_SIZE_USER),
+    "type_and_size": (PR.LESION_EXTRACTION_SYSTEM, PR.LESION_EXTRACTION_USER),
+    "tumor_detection": (PR.TUMOR_DETECTION_SYSTEM, PR.TUMOR_DETECTION_USER),
+    "malignancy": (PR.MALIGNANCY_SYSTEM, PR.MALIGNANCY_USER),
+    "type_and_size_organ": (PR.TYPE_SIZE_ORGAN_SYSTEM,
+                            PR.TYPE_SIZE_ORGAN_USER),
+    "type_and_size_pathology": (PR.TYPE_SIZE_PATHOLOGY_SYSTEM,
+                                PR.TYPE_SIZE_PATHOLOGY_USER),
+    "malignant_size": (PR.MALIGNANT_SIZE_SYSTEM, PR.MALIGNANT_SIZE_USER),
+    "hcc": (PR.HCC_SYSTEM, PR.HCC_USER),
+    "diagnoses": (PR.DIAGNOSES_SYSTEM, PR.DIAGNOSES_USER),
+    "synonyms": (PR.SYNONYMS_SYSTEM, PR.SYNONYMS_USER),
+    "longitudinal_pancreas": (PR.LONGITUDINAL_SYSTEM, PR.LONGITUDINAL_USER),
+    "longitudinal_pancreas_diagnosis": (PR.LONGITUDINAL_DIAG_SYSTEM,
+                                        PR.LONGITUDINAL_DIAG_USER),
+    "refine_normal_pancreas": (PR.REFINE_NORMAL_SYSTEM,
+                               PR.REFINE_NORMAL_USER),
+    "matching_reports": (PR.MATCHING_REPORTS_SYSTEM,
+                         PR.MATCHING_REPORTS_USER),
 }
 
 
@@ -142,13 +144,67 @@ def postprocess_answers(out_dir: str, step: str = "type_and_size",
         pd.DataFrame(rows).to_csv(
             os.path.join(out_dir, f"malignant_size_{organ}.csv"), index=False)
         return
-    if step == "type_and_size_organ":
+    if step in ("type_and_size_organ", "type_and_size_pathology"):
         rows = []
         for cid, ans in answers.items():
             for i, t in enumerate(parse_single_organ_lesions(ans, organ)):
                 rows.append({"BDMAP_ID": cid, "tumor": i + 1, **t})
+        suffix = ("pathology_" if step == "type_and_size_pathology" else "")
         pd.DataFrame(rows).to_csv(
-            os.path.join(out_dir, f"type_and_size_{organ}.csv"), index=False)
+            os.path.join(out_dir, f"type_and_size_{suffix}{organ}.csv"),
+            index=False)
+        return
+    if step == "hcc":
+        rows = []
+        for cid, ans in answers.items():
+            for key, rec in P.parse_hcc(ans).items():
+                rows.append({"BDMAP_ID": cid, "tumor": key, **rec})
+        pd.DataFrame(rows).to_csv(os.path.join(out_dir, "hcc_liver.csv"),
+                                  index=False)
+        return
+    if step == "diagnoses":
+        rows = [{"BDMAP_ID": cid,
+                 "abnormalities": "; ".join(P.parse_diagnoses(ans) or [])}
+                for cid, ans in answers.items()]
+        pd.DataFrame(rows).to_csv(os.path.join(out_dir, "diagnoses.csv"),
+                                  index=False)
+        return
+    if step == "synonyms":
+        rows = []
+        for cid, ans in answers.items():
+            syn = P.parse_synonyms(ans) or {}
+            for term, alts in syn.items():
+                rows.append({"BDMAP_ID": cid, "term": term,
+                             "synonyms": "; ".join(map(str, alts))})
+        pd.DataFrame(rows).to_csv(os.path.join(out_dir, "synonyms.csv"),
+                                  index=False)
+        return
+    if step == "longitudinal_pancreas":
+        rows = [{"BDMAP_ID": cid, **P.parse_longitudinal(ans)}
+                for cid, ans in answers.items()]
+        pd.DataFrame(rows).to_csv(
+            os.path.join(out_dir, "longitudinal_pancreas.csv"), index=False)
+        return
+    if step == "longitudinal_pancreas_diagnosis":
+        rows = [{"BDMAP_ID": cid,
+                 **(P.parse_longitudinal_diagnosis(ans)
+                    or {"Tumor Types": None})}
+                for cid, ans in answers.items()]
+        pd.DataFrame(rows).to_csv(
+            os.path.join(out_dir, "longitudinal_pancreas_diagnosis.csv"),
+            index=False)
+        return
+    if step == "refine_normal_pancreas":
+        rows = [{"BDMAP_ID": cid, **P.parse_refine_normal_pancreas(ans)}
+                for cid, ans in answers.items()]
+        pd.DataFrame(rows).to_csv(
+            os.path.join(out_dir, "refine_normal_pancreas.csv"), index=False)
+        return
+    if step == "matching_reports":
+        rows = [{"BDMAP_ID": cid, **P.parse_matching_reports(ans)}
+                for cid, ans in answers.items()]
+        pd.DataFrame(rows).to_csv(
+            os.path.join(out_dir, "matching_reports.csv"), index=False)
         return
     parsed = {cid: parse_lesion_answer(ans) for cid, ans in answers.items()}
     per_tumor = build_per_tumor_csv(parsed)

@@ -526,3 +526,82 @@ def test_metrics_logger_writes_tb(tmp_path):
     tb_files = list((tmp_path / "tb").glob("events.out.tfevents.*"))
     assert len(tb_files) == 1 and tb_files[0].stat().st_size > 0
     assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_parse_research_steps(tmp_path):
+    """The reference's remaining RadGPT interpretation steps — HCC/LI-RADS
+    (extract_liver_tumors :1363), diagnoses (:1562), synonyms (:1580),
+    longitudinal pancreas (+diagnosis, :1594-1614), refine normal pancreas
+    (:1600-1628), matching reports (:1469)."""
+    import json as _json
+
+    from rsuper_tpu.report_extraction.parse import (
+        parse_diagnoses,
+        parse_hcc,
+        parse_longitudinal,
+        parse_longitudinal_diagnosis,
+        parse_matching_reports,
+        parse_refine_normal_pancreas,
+        parse_synonyms,
+    )
+    from rsuper_tpu.report_extraction.run import STEPS, postprocess_answers
+
+    hcc = parse_hcc(
+        "<think>x</think>\n"
+        "liver tumor 1: type = HCC; certainty = high; size = 3.2 cm; "
+        "location = segment 8; arterial enhancement = yes; washout = yes; "
+        "capsule = no; threshold growth = u; LI-RADS = LR-5;\n"
+        "Liver Tumor 2: type = cyst; certainty = high; size = u; "
+        "location = u; arterial enhancement = no; washout = no;\n"
+    )
+    assert hcc["liver tumor 1"]["size"] == "32"
+    assert hcc["liver tumor 1"]["LI-RADS"] == "LR-5"
+    assert hcc["liver tumor 2"]["capsule"] == "u"  # tolerant: missing -> 'u'
+    assert parse_hcc("no tumor found.") == {}
+
+    assert parse_diagnoses(
+        "abnormalities = ['pancreatic duct dilation', 'liver cyst']"
+    ) == ["pancreatic duct dilation", "liver cyst"]
+    assert parse_diagnoses("abnormalities = []") == []
+    assert parse_diagnoses("nothing structured") is None
+
+    syn = parse_synonyms(
+        "synonyms = {'PDAC': ['pancreatic adenocarcinoma'], 'cyst': ['cystic lesion']}"
+    )
+    assert syn["PDAC"] == ["pancreatic adenocarcinoma"]
+    assert parse_synonyms("gibberish") is None
+
+    lon = parse_longitudinal(
+        "first diagnosis report = 3;\npre-diagnosis reports = 1, 2;"
+    )
+    assert lon["First Diagnosis Report"] == "3"
+    assert lon["Pre-Diagnosis Reports"] == "1, 2"
+    assert parse_longitudinal("first diagnosis report = none;")[
+        "First Diagnosis Report"] == "none"
+
+    assert parse_longitudinal_diagnosis("tumor types: PDAC; Cyst;") == {
+        "Tumor Types": "PDAC; Cyst;"}
+    assert parse_longitudinal_diagnosis("no structured line") is None
+
+    ref = parse_refine_normal_pancreas(
+        "- decision: exclude\nconfidence: high\nhuman review required: no"
+    )
+    assert ref == {"Decision": "Exclude", "Confidence": "High",
+                   "Human Review Needed": "No"}
+
+    assert parse_matching_reports("same report = yes;") == {
+        "Matching Reports": 1}
+    assert parse_matching_reports("same report = no;") == {
+        "Matching Reports": 0}
+
+    # every registered step postprocesses to a CSV without error
+    for step in ("hcc", "diagnoses", "synonyms", "longitudinal_pancreas",
+                 "longitudinal_pancreas_diagnosis", "refine_normal_pancreas",
+                 "matching_reports", "type_and_size_pathology"):
+        assert step in STEPS
+        d = tmp_path / step
+        d.mkdir()
+        with open(d / "raw_answers_part0.jsonl", "w") as f:
+            f.write(_json.dumps({"id": "BDMAP_A", "answer": "x"}) + "\n")
+        postprocess_answers(str(d), step=step, organ="pancreas")
+        assert any(p.suffix == ".csv" for p in d.iterdir())
