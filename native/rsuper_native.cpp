@@ -156,4 +156,71 @@ int rsuper_clip_zscore(float* data, int64_t n, float lo, float hi,
   return 0;
 }
 
+// Fused NIfTI payload decode: raw little-endian voxels (any of the common
+// NIfTI datatypes) -> float32 with the header's scl_slope/scl_inter applied,
+// one threaded pass. Replaces numpy's frombuffer -> multiply -> add ->
+// astype chain (three temporaries) on the volume-read hot path
+// (data/nifti.read_nifti; reference loads via nibabel + .astype).
+// dtype codes are NIfTI-1: 2=u8, 4=i16, 8=i32, 16=f32, 64=f64, 512=u16.
+int rsuper_nifti_scale_cast_f32(const uint8_t* src, int dtype_code, int64_t n,
+                                float slope, float inter, float* dst,
+                                int nthreads) {
+  if (!src || !dst || n < 1) return -1;
+  if (nthreads <= 0) nthreads = default_threads();
+  const float s = slope == 0.0f ? 1.0f : slope;
+
+  auto run = [&](auto conv) {
+    parallel_for(n, nthreads, [&](int64_t a, int64_t b) {
+      for (int64_t i = a; i < b; ++i) dst[i] = conv(i) * s + inter;
+    });
+  };
+  switch (dtype_code) {
+    case 2:
+      run([&](int64_t i) { return float(src[i]); });
+      return 0;
+    case 4: {
+      run([&](int64_t i) {
+        int16_t v;
+        std::memcpy(&v, src + 2 * i, 2);
+        return float(v);
+      });
+      return 0;
+    }
+    case 8: {
+      run([&](int64_t i) {
+        int32_t v;
+        std::memcpy(&v, src + 4 * i, 4);
+        return float(v);
+      });
+      return 0;
+    }
+    case 16: {
+      run([&](int64_t i) {
+        float v;
+        std::memcpy(&v, src + 4 * i, 4);
+        return v;
+      });
+      return 0;
+    }
+    case 64: {
+      run([&](int64_t i) {
+        double v;
+        std::memcpy(&v, src + 8 * i, 8);
+        return float(v);
+      });
+      return 0;
+    }
+    case 512: {
+      run([&](int64_t i) {
+        uint16_t v;
+        std::memcpy(&v, src + 2 * i, 2);
+        return float(v);
+      });
+      return 0;
+    }
+    default:
+      return -2;  // caller falls back to the numpy path
+  }
+}
+
 }  // extern "C"

@@ -42,6 +42,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rsuper_clip_zscore.argtypes = [fp, i64, ctypes.c_float, ctypes.c_float,
                                        ctypes.c_int]
     lib.rsuper_clip_zscore.restype = ctypes.c_int
+    lib.rsuper_nifti_scale_cast_f32.argtypes = [
+        u8p, ctypes.c_int, i64, ctypes.c_float, ctypes.c_float, fp,
+        ctypes.c_int,
+    ]
+    lib.rsuper_nifti_scale_cast_f32.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -96,3 +101,30 @@ def clip_zscore(
         lo, hi, nthreads,
     )
     return arr if rc == 0 else None
+
+
+_NIFTI_ITEMSIZE = {2: 1, 4: 2, 8: 4, 16: 4, 64: 8, 512: 2}
+
+
+def nifti_scale_cast_f32(
+    raw: bytes, offset: int, dtype_code: int, count: int, slope: float,
+    inter: float, nthreads: int = 0,
+) -> Optional[np.ndarray]:
+    """Native fused NIfTI payload decode: little-endian voxels of the given
+    NIfTI datatype code → float32 with scl_slope/scl_inter applied in one
+    threaded pass (flat array; caller reshapes in Fortran order). None if
+    the library is absent or the datatype unsupported."""
+    lib = _load()
+    if lib is None or dtype_code not in _NIFTI_ITEMSIZE:
+        return None
+    nbytes = count * _NIFTI_ITEMSIZE[dtype_code]
+    if offset + nbytes > len(raw):
+        return None
+    dst = np.empty(count, np.float32)
+    src = np.frombuffer(raw, np.uint8, count=nbytes, offset=offset)  # no copy
+    rc = lib.rsuper_nifti_scale_cast_f32(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(dtype_code), int(count), float(slope), float(inter),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nthreads,
+    )
+    return dst if rc == 0 else None

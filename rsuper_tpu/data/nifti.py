@@ -116,16 +116,27 @@ def read_nifti(path: str, dtype=None) -> NiftiImage:
         raise ValueError(f"unsupported NIfTI datatype {hdr['datatype']}")
     count = int(np.prod(shape))
     off = max(hdr["vox_offset"], 348)
-    data = np.frombuffer(raw, dtype=np.dtype(np_dtype).newbyteorder("<"),
-                         count=count, offset=off)
-    data = data.reshape(shape, order="F")
     slope, inter = hdr["scl_slope"], hdr["scl_inter"]
-    if slope not in (0.0, 1.0) or inter != 0.0:
-        data = data * (slope if slope != 0 else 1.0) + inter
-    if dtype is not None:
-        data = data.astype(dtype)
-    else:
-        data = np.asarray(data)
+    data = None
+    if dtype is not None and np.dtype(dtype) == np.float32:
+        # native fused decode: payload -> f32 with scl applied, one threaded
+        # pass (native/rsuper_native.cpp); None -> numpy fallback below
+        from .native_io import nifti_scale_cast_f32
+
+        flat = nifti_scale_cast_f32(raw, off, hdr["datatype"], count,
+                                    slope if slope != 0.0 else 1.0, inter)
+        if flat is not None:
+            data = flat.reshape(shape, order="F")
+    if data is None:
+        data = np.frombuffer(raw, dtype=np.dtype(np_dtype).newbyteorder("<"),
+                             count=count, offset=off)
+        data = data.reshape(shape, order="F")
+        if slope not in (0.0, 1.0) or inter != 0.0:
+            data = data * (slope if slope != 0 else 1.0) + inter
+        if dtype is not None:
+            data = data.astype(dtype)
+        else:
+            data = np.asarray(data)
 
     if hdr["sform_code"] > 0:
         affine = np.eye(4)

@@ -510,3 +510,33 @@ def test_pack_unpack_bits():
     assert w.shape == (4, 4, 4, 3)  # ceil(50/24)
     back = np.asarray(_unpack_bits(w, 50))
     np.testing.assert_array_equal(back, m)
+
+
+def test_native_nifti_decode_matches_numpy(tmp_path):
+    """Fused native NIfTI payload decode (scale+cast, one pass) must match
+    the numpy frombuffer->scale->astype chain, and read_nifti(dtype=f32)
+    must produce identical volumes either way."""
+    from rsuper_tpu.data import native_io
+    from rsuper_tpu.data.nifti import read_nifti, write_nifti
+
+    if not native_io.available():
+        pytest.skip("native library not built (make -C native)")
+
+    rng = np.random.default_rng(0)
+    for arr in (
+        (rng.random((9, 7, 5)) * 200 - 100).astype(np.float32),
+        (rng.integers(-1000, 2000, (8, 6, 4))).astype(np.int16),
+        (rng.integers(0, 250, (5, 5, 5))).astype(np.uint8),
+    ):
+        p = tmp_path / f"v_{arr.dtype}.nii.gz"
+        write_nifti(str(p), arr, np.eye(4))
+        img = read_nifti(str(p), dtype=np.float32)
+        np.testing.assert_allclose(img.data, arr.astype(np.float32),
+                                   rtol=1e-6)
+
+    # direct wrapper: slope/inter applied per element
+    raw = np.arange(6, dtype=np.int16).tobytes()
+    flat = native_io.nifti_scale_cast_f32(raw, 0, 4, 6, 2.0, -1.0)
+    np.testing.assert_allclose(flat, np.arange(6) * 2.0 - 1.0)
+    # unsupported dtype code -> None (caller falls back)
+    assert native_io.nifti_scale_cast_f32(raw, 0, 999, 6, 1.0, 0.0) is None
