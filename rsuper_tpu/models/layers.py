@@ -80,13 +80,13 @@ instance_norm.defvjp(_instance_norm_fwd, _instance_norm_bwd)
 
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
 def instance_norm_cf(x, eps: float = 1e-4):
-    """`instance_norm` for channel-first (B, C, D, H, W) tensors — spatial
-    axes are the trailing ones. Same closed-form custom VJP."""
+    """`instance_norm` for depth-major channel-first (B, D, C, H, W)
+    tensors — spatial axes (1, 3, 4). Same closed-form custom VJP."""
     return _instance_norm_cf_fwd(x, eps)[0]
 
 
 def _instance_norm_cf_fwd(x, eps: float):
-    spatial = tuple(range(2, x.ndim))
+    spatial = (1,) + tuple(range(3, x.ndim))
     n = 1
     for d in spatial:
         n *= x.shape[d]
@@ -102,7 +102,7 @@ def _instance_norm_cf_fwd(x, eps: float):
 
 def _instance_norm_cf_bwd(eps: float, res, dy):
     y, inv = res
-    spatial = tuple(range(2, dy.ndim))
+    spatial = (1,) + tuple(range(3, dy.ndim))
     dy32 = dy.astype(jnp.float32)
     y32 = y.astype(jnp.float32)
     m1 = jnp.mean(dy32, axis=spatial, keepdims=True)
@@ -437,6 +437,7 @@ class CFConv3(nn.Module):
     ``fuse_in_relu`` computes ``conv(relu(instance_norm(x)))`` with the
     IN+relu epilogue fused into the kernel's row loads (the preact
     ConvNormAct pattern) — the normalized activation never touches HBM.
+    Operands are depth-major channel-first (B, D, C, H, W).
     """
 
     features: int
@@ -451,7 +452,7 @@ class CFConv3(nn.Module):
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (3, 3, 3, x.shape[1], self.features),
+            (3, 3, 3, x.shape[2], self.features),
             jnp.float32,
         )
         if self.fuse_in_relu:
@@ -461,7 +462,7 @@ class CFConv3(nn.Module):
 
 
 class CFConv1(nn.Module):
-    """1×1×1 conv (pointwise einsum) on channel-first tensors; parameter-
+    """1×1×1 conv (pointwise einsum) on (B, D, C, H, W) tensors; parameter-
     compatible with ``nn.Conv(features, (1,1,1))`` (kernel + bias)."""
 
     features: int
@@ -473,18 +474,18 @@ class CFConv1(nn.Module):
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (1, 1, 1, x.shape[1], self.features),
+            (1, 1, 1, x.shape[2], self.features),
             jnp.float32,
         )
         y = jnp.einsum(
-            "bcdhw,co->bodhw",
+            "bdchw,co->bdohw",
             x.astype(self.dtype),
             kernel[0, 0, 0].astype(self.dtype),
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
-            y = y + bias.astype(self.dtype)[None, :, None, None, None]
+            y = y + bias.astype(self.dtype)[None, None, :, None, None]
         return y
 
 
@@ -527,16 +528,19 @@ class BasicBlockCF(nn.Module):
                             dtype=self.dtype, name="ConvNormAct_0")(x)
         out = ConvNormActCF(self.features, norm=self.norm, act=self.act,
                             dtype=self.dtype, name="ConvNormAct_1")(out)
-        if x.shape[1] != self.features:
+        if x.shape[2] != self.features:
             x = ConvNormActCF(self.features, norm=self.norm, act=self.act,
                               dtype=self.dtype, name="ConvNormAct_2")(x)
         return out + x
 
 
 def resize_trilinear_cf(x, size):
-    """Trilinear resize of channel-first (B, C, D, H, W) to spatial `size`."""
-    b, c = x.shape[:2]
-    return jax.image.resize(x, (b, c, *size), method="linear")
+    """Trilinear resize of (B, D, C, H, W) to spatial `size` = (D', H', W')
+    (the C axis, position 2, is untouched — jax.image.resize only resamples
+    dims whose size changes)."""
+    b, c = x.shape[0], x.shape[2]
+    return jax.image.resize(x, (b, size[0], c, size[1], size[2]),
+                            method="linear")
 
 
 def resize_trilinear(x, size):

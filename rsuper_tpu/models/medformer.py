@@ -263,11 +263,11 @@ class DownBlockMF(nn.Module):
                                    jnp.dtype(self.dtype).itemsize)
         )
         if use_cf:
-            xc = jnp.moveaxis(x, -1, 1)
+            xc = jnp.moveaxis(x, -1, 2)  # (B, D, C, H, W) — conv_cf layout
             for i in range(self.conv_num):
                 xc = BasicBlockCF(self.out_dim, norm=self.norm, act=self.act,
                                   dtype=self.dtype, name=f"BasicBlock_{i}")(xc)
-            x = jnp.moveaxis(xc, 1, -1)
+            x = jnp.moveaxis(xc, 2, -1)
         else:
             Block = BLOCKS[self.conv_block]
             for _ in range(self.conv_num):
@@ -353,10 +353,11 @@ class UpBlockCF(nn.Module):
 
     @nn.compact
     def __call__(self, x_low_cf, x_skip_cf, map_low, map_skip=None):
-        x = resize_trilinear_cf(x_low_cf, x_skip_cf.shape[2:]).astype(
+        sk = x_skip_cf.shape
+        x = resize_trilinear_cf(x_low_cf, (sk[1], sk[3], sk[4])).astype(
             x_low_cf.dtype
         )
-        feat = jnp.concatenate([x, x_skip_cf.astype(x.dtype)], axis=1)
+        feat = jnp.concatenate([x, x_skip_cf.astype(x.dtype)], axis=2)
         for i in range(self.conv_num):
             feat = BasicBlockCF(self.out_dim, norm=self.norm, act=self.act,
                                 dtype=self.dtype, name=f"BasicBlock_{i}")(feat)
@@ -485,11 +486,11 @@ class MedFormer(nn.Module):
 
         # conv stem
         if use_cf:
-            x_cf = jnp.moveaxis(x, -1, 1)  # (B, 1, D, H, W)
+            x_cf = jnp.moveaxis(x, -1, 2)  # (B, D, 1, H, W)
             x0_cf = CFConv3(self.base_chan, dtype=self.dtype, name="Conv_0")(x_cf)
             x0_cf = BasicBlockCF(self.base_chan, norm=self.norm, act=self.act,
                                  dtype=self.dtype, name="BasicBlock_0")(x0_cf)
-            x0 = jnp.moveaxis(x0_cf, 1, -1)
+            x0 = jnp.moveaxis(x0_cf, 2, -1)
         else:
             x0 = nn.Conv(self.base_chan, (3, 3, 3), padding="SAME", use_bias=False,
                          dtype=self.dtype, param_dtype=jnp.float32)(x)
@@ -570,17 +571,17 @@ class MedFormer(nn.Module):
                 out_cf, sem = UpCF(
                     ch[6], cn[6], norm=self.norm, act=self.act,
                     dtype=self.dtype, name="UpBlockMF_2",
-                )(jnp.moveaxis(out, -1, 1), jnp.moveaxis(x1, -1, 1), sem, None)
+                )(jnp.moveaxis(out, -1, 2), jnp.moveaxis(x1, -1, 2), sem, None)
             else:
                 out, sem = up(6, out, x1, sem, None, False)
-                out_cf = jnp.moveaxis(out, -1, 1)
+                out_cf = jnp.moveaxis(out, -1, 2)
             out_cf, sem = UpCF(
                 ch[7], cn[7], norm=self.norm, act=self.act,
                 dtype=self.dtype, name="UpBlockMF_3",
             )(out_cf, x0_cf, sem, None)
             logits = jnp.moveaxis(
                 CFConv1(self.num_classes, dtype=self.dtype, name="outc")(out_cf),
-                1, -1,
+                2, -1,
             )
         else:
             out, sem = up(6, out, x1, sem, None, False)

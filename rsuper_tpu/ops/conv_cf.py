@@ -10,9 +10,10 @@ FLOPs, so the fix is a kernel that computes the conv in a **channel-first
 layout** where the lane dimension is the flattened in-plane space H·W and the
 MXU contraction runs over ``3·C_in`` (kw-unrolled).
 
-Shape story: operands are reshaped (in XLA, outside the kernel) from
-(B, C, D, H, W) to (B, C, D, H·W); the grid is one (batch, depth-row) program
-per step; the three depth taps arrive as separate halo refs (kd−1, kd, kd+1,
+Shape story: operands live in depth-major channel-first (B, D, C, H, W)
+layout — the (B, D, C, H·W) view the kernels consume is then a FREE reshape
+(the original (B, C, D, H, W) layout paid ~5 ms/step of transpose copies at
+96³). The grid is one (batch, depth-row) program per step; the three depth taps arrive as separate halo refs (kd−1, kd, kd+1,
 edge-clamped and masked to zero); kh taps are ±W lane shifts (zero-filled at
 the top/bottom rows by construction); kw taps are ±1 lane shifts with the
 wrapped w-edge column masked via an iota-mod-W predicate. Every dot is a
@@ -463,9 +464,12 @@ def _stats_spec(Ci, n_grid: int):
 
 
 def _conv3_cf_pallas(x, w, interpret=False, stats=None):
-    """Forward kernels; `stats` (B, 2, C_in, 1) f32 enables the fused
-    IN+relu epilogue (y = conv(relu(x·scale + shift)))."""
-    B, Ci, D, H, W = x.shape
+    """Forward kernels on (B, D, C, H, W) operands — the kernels' native
+    layout, so the (B, D, C, H·W) view is a free reshape (the old
+    channel-second layout paid ~5 ms/step of transpose copies at 96³).
+    `stats` (B, 2, C_in, 1) f32 enables the fused IN+relu epilogue
+    (y = conv(relu(x·scale + shift)))."""
+    B, D, Ci, H, W = x.shape
     Co = w.shape[-1]
     S = H * W
     cap = _ci_cap(x.dtype, H, W)
@@ -473,7 +477,7 @@ def _conv3_cf_pallas(x, w, interpret=False, stats=None):
         out = None
         for s, n in _ci_chunks(Ci, cap):
             part = _conv3_cf_pallas(
-                x[:, s : s + n], w[:, :, :, s : s + n], interpret,
+                x[:, :, s : s + n], w[:, :, :, s : s + n], interpret,
                 None if stats is None else stats[:, :, s : s + n],
             )
             # partial sums stay in x.dtype: f32 partials doubled the write
@@ -482,7 +486,7 @@ def _conv3_cf_pallas(x, w, interpret=False, stats=None):
             # re-rounding is noise at training precision
             out = part if out is None else out + part
         return out
-    xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B, D, Ci, S)
+    xf = x.reshape(B, D, Ci, S)
     w_prep = _prep_w(w).astype(x.dtype)
     fuse = stats is not None
     st = (stats.astype(jnp.float32),) if fuse else ()
@@ -500,7 +504,7 @@ def _conv3_cf_pallas(x, w, interpret=False, stats=None):
             out_shape=jax.ShapeDtypeStruct((B, D, Co, S), x.dtype),
             interpret=interpret,
         )(*([xf] * 9), *st, w_prep)
-        return jnp.transpose(out.reshape(B, D, Co, H, W), (0, 2, 1, 3, 4))
+        return out.reshape(B, D, Co, H, W)
     concat_kw = S * Ci * x.dtype.itemsize <= _CONCAT_BUDGET
     TD = _pick_td(D, S, max(Ci, Co), concat_kw, x.dtype.itemsize)
     st_specs = [_stats_spec(Ci, 2)] if fuse else []
@@ -513,22 +517,22 @@ def _conv3_cf_pallas(x, w, interpret=False, stats=None):
         out_shape=jax.ShapeDtypeStruct((B, D, Co, S), x.dtype),
         interpret=interpret,
     )(xf, xf, xf, *st, w_prep)
-    return jnp.transpose(out.reshape(B, D, Co, H, W), (0, 2, 1, 3, 4))
+    return out.reshape(B, D, Co, H, W)
 
 
 def _wgrad_pallas(x, dy, Co, interpret=False, stats=None):
-    B, Ci, D, H, W = x.shape
+    B, D, Ci, H, W = x.shape
     S = H * W
     cap = _ci_cap(x.dtype, H, W)
     if Ci > cap:
         return jnp.concatenate(
-            [_wgrad_pallas(x[:, s : s + n], dy, Co, interpret,
+            [_wgrad_pallas(x[:, :, s : s + n], dy, Co, interpret,
                            None if stats is None else stats[:, :, s : s + n])
              for s, n in _ci_chunks(Ci, cap)],
             axis=3,
         )
-    xf = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(B, D, Ci, S)
-    dyf = jnp.transpose(dy, (0, 2, 1, 3, 4)).reshape(B, D, Co, S)
+    xf = x.reshape(B, D, Ci, S)
+    dyf = dy.reshape(B, D, Co, S)
     fuse = stats is not None
     st = (stats.astype(jnp.float32),) if fuse else ()
     if S > _PLANE_LANES:
@@ -589,13 +593,14 @@ _conv3_cf.defvjp(_conv3_cf_fwd, _conv3_cf_bwd)
 
 
 def _conv3_cf_xla(x, w):
-    """Reference semantics on non-TPU backends: NCDHW conv, SAME padding."""
+    """Reference semantics on non-TPU backends: (B, D, C, H, W) conv,
+    SAME padding (feature dim in position 2)."""
     out = jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(1, 1, 1),
         padding="SAME",
-        dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
+        dimension_numbers=("NDCHW", "DHWIO", "NDCHW"),
         preferred_element_type=jnp.float32,
     )
     return out.astype(x.dtype)
@@ -613,9 +618,11 @@ def cf_plane_supported(H: int, W: int, itemsize: int = 2) -> bool:
 def conv3x3x3_cf(x, w, force_pallas: bool = False, interpret: bool = False):
     """SAME 3³ conv on channel-first operands.
 
-    x: (B, C_in, D, H, W); w: (3, 3, 3, C_in, C_out) — the flax ``nn.Conv``
-    kernel layout, so parameters are interchangeable with the channels-last
-    path. Differentiable (custom VJP on the Pallas path).
+    x: (B, D, C_in, H, W) — depth-major channel-first, the kernels' native
+    layout (views to (B, D, C, H·W) are free; a channel-second layout paid
+    transpose copies per conv). w: (3, 3, 3, C_in, C_out) — the flax
+    ``nn.Conv`` kernel layout, so parameters are interchangeable with the
+    channels-last path. Differentiable (custom VJP on the Pallas path).
     """
     H, W = x.shape[3], x.shape[4]
     ok = cf_plane_supported(H, W, x.dtype.itemsize)
@@ -626,13 +633,14 @@ def conv3x3x3_cf(x, w, force_pallas: bool = False, interpret: bool = False):
 
 # ------------------------------------------------------- fused IN+relu+conv
 def _in_stats_cf(x, eps: float):
-    """Instance-norm stats of channel-first x, packed for the fused kernels:
-    (B, 2, C, 1) f32 with [:, 0] = 1/σ and [:, 1] = −μ/σ, so the in-kernel
-    epilogue is one multiply-add per element. One fused XLA reduction sweep."""
+    """Instance-norm stats of (B, D, C, H, W) x, packed for the fused
+    kernels: (B, 2, C, 1) f32 with [:, 0] = 1/σ and [:, 1] = −μ/σ, so the
+    in-kernel epilogue is one multiply-add per element. One fused XLA
+    reduction sweep."""
     x32 = x.astype(jnp.float32)
-    n = x.shape[2] * x.shape[3] * x.shape[4]
-    s1 = jnp.sum(x32, axis=(2, 3, 4))
-    s2 = jnp.sum(x32 * x32, axis=(2, 3, 4))
+    n = x.shape[1] * x.shape[3] * x.shape[4]
+    s1 = jnp.sum(x32, axis=(1, 3, 4))
+    s2 = jnp.sum(x32 * x32, axis=(1, 3, 4))
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
@@ -641,14 +649,15 @@ def _in_stats_cf(x, eps: float):
 
 def _in_relu_conv_bwd_xla(x, stats, da):
     """relu + instance-norm backward in XLA (closed form):
-    dx = inv · (g − E[g] − x̂·E[g·x̂]) with g = da ⊙ 1[x̂ > 0]."""
-    scale = stats[:, 0, :, 0][:, :, None, None, None]
-    shift = stats[:, 1, :, 0][:, :, None, None, None]
+    dx = inv · (g − E[g] − x̂·E[g·x̂]) with g = da ⊙ 1[x̂ > 0].
+    DC layout: spatial axes (1, 3, 4), channels at axis 2."""
+    scale = stats[:, 0, :, 0][:, None, :, None, None]
+    shift = stats[:, 1, :, 0][:, None, :, None, None]
     x32 = x.astype(jnp.float32)
     xh = x32 * scale + shift
     g = da.astype(jnp.float32) * (xh > 0)
-    m1 = jnp.mean(g, axis=(2, 3, 4), keepdims=True)
-    m2 = jnp.mean(g * xh, axis=(2, 3, 4), keepdims=True)
+    m1 = jnp.mean(g, axis=(1, 3, 4), keepdims=True)
+    m2 = jnp.mean(g * xh, axis=(1, 3, 4), keepdims=True)
     return (scale * (g - m1 - xh * m2)).astype(x.dtype)
 
 
@@ -678,8 +687,8 @@ def _in_relu_conv_xla(x, w, eps: float):
     """Reference semantics for non-TPU backends: IN → relu → SAME conv,
     channel-first."""
     stats = _in_stats_cf(x, eps)
-    scale = stats[:, 0, :, 0][:, :, None, None, None]
-    shift = stats[:, 1, :, 0][:, :, None, None, None]
+    scale = stats[:, 0, :, 0][:, None, :, None, None]
+    shift = stats[:, 1, :, 0][:, None, :, None, None]
     a = jnp.maximum(x.astype(jnp.float32) * scale + shift, 0.0).astype(x.dtype)
     return _conv3_cf_xla(a, w.astype(x.dtype))
 

@@ -325,17 +325,17 @@ class TestConvCF:
         from rsuper_tpu.ops.conv_cf import conv3x3x3_cf
 
         x_cl, w = self._setup()
-        x_cf = jnp.moveaxis(x_cl, -1, 1)
-        got = jnp.moveaxis(conv3x3x3_cf(x_cf, w), 1, -1)
+        x_cf = jnp.moveaxis(x_cl, -1, 2)
+        got = jnp.moveaxis(conv3x3x3_cf(x_cf, w), 2, -1)
         np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-4)
 
     def test_pallas_interpret_matches_flax(self):
         from rsuper_tpu.ops.conv_cf import conv3x3x3_cf
 
         x_cl, w = self._setup()
-        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        x_cf = jnp.moveaxis(x_cl, -1, 2)
         got = jnp.moveaxis(
-            conv3x3x3_cf(x_cf, w, force_pallas=True, interpret=True), 1, -1
+            conv3x3x3_cf(x_cf, w, force_pallas=True, interpret=True), 2, -1
         )
         np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-4)
 
@@ -345,9 +345,9 @@ class TestConvCF:
         from rsuper_tpu.ops.conv_cf import conv3x3x3_cf
 
         x_cl, w = self._setup(B=1, C=96, Co=8, S=(4, 6, 8), seed=2)
-        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        x_cf = jnp.moveaxis(x_cl, -1, 2)
         got = jnp.moveaxis(
-            conv3x3x3_cf(x_cf, w, force_pallas=True, interpret=True), 1, -1
+            conv3x3x3_cf(x_cf, w, force_pallas=True, interpret=True), 2, -1
         )
         np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-3)
 
@@ -374,10 +374,10 @@ class TestConvCF:
 
         monkeypatch.setattr(conv_cf, "_CONCAT_BUDGET", 0)
         x_cl, w = self._setup(B=1, C=4, Co=6, S=(4, 6, 8), seed=3)
-        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        x_cf = jnp.moveaxis(x_cl, -1, 2)
         got = jnp.moveaxis(
             conv_cf.conv3x3x3_cf(x_cf, w, force_pallas=True, interpret=True),
-            1, -1,
+            2, -1,
         )
         np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-4)
 
@@ -403,10 +403,10 @@ class TestConvCF:
         monkeypatch.setattr(conv_cf, "_PLANE_LANES", 0)  # force HT dispatch
         monkeypatch.setattr(conv_cf, "_pick_th", lambda H, W, C: 2)
         x_cl, w = self._setup(B=2, C=4, Co=6, S=(4, 6, 128), seed=4)
-        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        x_cf = jnp.moveaxis(x_cl, -1, 2)
         got = jnp.moveaxis(
             conv_cf.conv3x3x3_cf(x_cf, w, force_pallas=True, interpret=True),
-            1, -1,
+            2, -1,
         )
         np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-4)
 
@@ -428,10 +428,10 @@ class TestConvCF:
         monkeypatch.setattr(conv_cf, "_PLANE_LANES", 0)
         monkeypatch.setattr(conv_cf, "_CI_CHUNK", 8)
         x_cl, w = self._setup(B=1, C=12, Co=4, S=(3, 4, 128), seed=5)
-        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        x_cf = jnp.moveaxis(x_cl, -1, 2)
         got = jnp.moveaxis(
             conv_cf.conv3x3x3_cf(x_cf, w, force_pallas=True, interpret=True),
-            1, -1,
+            2, -1,
         )
         np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-3)
 
@@ -445,9 +445,9 @@ class TestConvCF:
         assert conv_cf.cf_plane_supported(200, 256)
         assert not conv_cf.cf_plane_supported(112, 112)
         x_cl, w = self._setup(B=1, C=2, Co=2, S=(2, 112, 112), seed=6)
-        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        x_cf = jnp.moveaxis(x_cl, -1, 2)
         got = jnp.moveaxis(
-            conv_cf.conv3x3x3_cf(x_cf, w, force_pallas=True), 1, -1
+            conv_cf.conv3x3x3_cf(x_cf, w, force_pallas=True), 2, -1
         )
         np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-4)
 
@@ -475,7 +475,7 @@ class TestConvCF:
             x_cl, w = self._setup(B=2, C=4, Co=6, S=(4, 6, 128), seed=7)
         else:
             x_cl, w = self._setup(B=2, C=8, Co=8, S=(6, 8, 10), seed=7)
-        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        x_cf = jnp.moveaxis(x_cl, -1, 2)
 
         got = conv_cf.in_relu_conv3x3x3_cf(x_cf, w, force_pallas=True,
                                            interpret=True)
@@ -504,7 +504,7 @@ class TestConvCF:
 
         monkeypatch.setattr(conv_cf, "_CI_CHUNK", 8)
         x_cl, w = self._setup(B=1, C=12, Co=4, S=(3, 4, 8), seed=8)
-        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        x_cf = jnp.moveaxis(x_cl, -1, 2)
         got = conv_cf.in_relu_conv3x3x3_cf(x_cf, w, force_pallas=True,
                                            interpret=True)
         np.testing.assert_allclose(got, self._fused_golden(x_cf, w),
@@ -516,9 +516,9 @@ class TestConvCF:
         from rsuper_tpu.ops.conv_cf import conv3x3x3_cf
 
         x_cl, w = self._setup(B=1, C=4, Co=6, S=(4, 6, 8))
-        x_cf = jnp.moveaxis(x_cl, -1, 1)
+        x_cf = jnp.moveaxis(x_cl, -1, 2)
         cot = jnp.asarray(
-            np.random.default_rng(1).normal(size=(1, 6, 4, 6, 8)).astype(np.float32)
+            np.random.default_rng(1).normal(size=(1, 4, 6, 6, 8)).astype(np.float32)
         )
 
         def f_pallas(x, w):
