@@ -73,7 +73,8 @@ def smoke():
     rng = np.random.default_rng(0)
 
     def conv_case(name, C, Co, S, dtype):
-        x = jnp.asarray(rng.normal(size=(1, C, *S)), dtype)
+        # (B, D, C, H, W) — the CF stages' depth-major channel-first layout
+        x = jnp.asarray(rng.normal(size=(1, S[0], C, S[1], S[2])), dtype)
         w = jnp.asarray(rng.normal(size=(3, 3, 3, C, Co)) * 0.2, jnp.float32)
 
         def run():
@@ -110,7 +111,7 @@ def smoke():
     conv_case("conv_cf_ht_chunked_bf16", 96, 32, (4, 128, 128), jnp.bfloat16)
 
     def fused_case(name, C, Co, S, dtype):
-        x = jnp.asarray(rng.normal(size=(1, C, *S)), dtype)
+        x = jnp.asarray(rng.normal(size=(1, S[0], C, S[1], S[2])), dtype)
         w = jnp.asarray(rng.normal(size=(3, 3, 3, C, Co)) * 0.2, jnp.float32)
 
         def run():
