@@ -34,6 +34,9 @@ SIZE = int(os.environ.get("RSUPER_BENCH_SIZE", "96"))
 # rematerialisation trades ~45% extra model time for activation memory; at
 # 96³ batch 1 everything fits without it (see docs/perf.md round-2 numbers)
 REMAT = os.environ.get("RSUPER_BENCH_REMAT", "0") == "1"
+# loss-stack attribution: 'dice' isolates model+seg cost; the default runs
+# the full R-Super report losses (ball_dice_last)
+LOSS = os.environ.get("RSUPER_BENCH_LOSS", "ball_dice_last")
 CLASSES = [
     "background", "aorta", "gall_bladder", "kidney_left", "kidney_right",
     "kidney_lesion", "liver", "liver_lesion", "pancreas", "pancreas_head",
@@ -225,7 +228,7 @@ def main():
         tx=tx,
     )
 
-    step = build_train_step(model, lmap, LossConfig(loss="ball_dice_last"))
+    step = build_train_step(model, lmap, LossConfig(loss=LOSS))
 
     # warm-up / compile
     state, losses = step(state, batch)
@@ -243,7 +246,7 @@ def main():
     # with voxel count, so other sizes compare against the scaled figure
     baseline = BASELINE_PATCHES_PER_SEC * (96.0 / SIZE) ** 3
     print(json.dumps({
-        "metric": f"train_patches_per_sec_per_chip_{SIZE}",
+        "metric": f"train_patches_per_sec_per_chip_{SIZE}" + ("" if LOSS == "ball_dice_last" else f"_{LOSS}"),
         "value": round(value, 3),
         "unit": f"{SIZE}^3 CT patches/s/chip (MedFormer fwd+bwd, full R-Super losses)",
         "vs_baseline": round(value / baseline, 3),
