@@ -112,6 +112,10 @@ def smoke():
     conv_case("conv_cf_ht_bf16", 8, 8, (4, 128, 128), jnp.bfloat16)
     # H-tiled + channel chunking (the decoder's 96-ch concat input at 128³)
     conv_case("conv_cf_ht_chunked_bf16", 96, 32, (4, 128, 128), jnp.bfloat16)
+    # f32 plane past the f32 byte budget (4608 < S=8192 <= 9216): the gate
+    # admits it via the H-tiled clause, so the dispatch MUST H-tile it too —
+    # whole-plane f32 at this size retains >16M scoped VMEM (review r3 #2)
+    conv_case("conv_cf_ht_f32", 8, 8, (4, 64, 128), jnp.float32)
 
     def fused_case(name, C, Co, S, dtype):
         x = jnp.asarray(rng.normal(size=(1, S[0], C, S[1], S[2])), dtype)

@@ -208,8 +208,11 @@ def merge_detection_parts(out_dir: str, parts: int):
         )
         merged[th] = df
     for th, df in merged.items():
-        df.to_csv(
-            os.path.join(out_dir, f"tumor_detection_results_th{th}.csv"),
-            index=False,
-        )
+        # two parts can finish near-simultaneously and both reach the merge;
+        # a pid-unique tmp + os.replace keeps the canonical file complete at
+        # all times (both writers produce identical content — last wins)
+        path = os.path.join(out_dir, f"tumor_detection_results_th{th}.csv")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        df.to_csv(tmp, index=False)
+        os.replace(tmp, path)
     return merged

@@ -440,7 +440,7 @@ def _ci_cap(dtype, H: int, W: int) -> int:
     footprint is per-TILE, so it keeps the full ceiling; whole-plane kernels
     shrink it so every chunk is concat-capable."""
     S = H * W
-    if S > _PLANE_LANES and _ht_supported(H, W):
+    if not _whole_plane_ok(dtype, S) and _ht_supported(H, W):
         return _CI_CHUNK
     return _ci_chunk_for(dtype, S)
 
@@ -452,8 +452,18 @@ def _ci_chunks(Ci: int, cap: int):
 
 
 # whole-plane kernels hold entire (C, H·W) planes in VMEM — fine up to 96²
-# in-plane voxels, OOM beyond (v5e); larger planes take the H-tiled path
+# in-plane voxels at bf16, OOM beyond (v5e); larger planes take the H-tiled
+# path. The budget is in BYTES (96²·2), so f32 planes hand over at 48²·2.
 _PLANE_LANES = 96 * 96
+
+
+def _whole_plane_ok(dtype, S: int) -> bool:
+    """True when a whole (C, S) plane fits the bf16-calibrated byte budget.
+    Both the gate (cf_plane_supported) and the kernel dispatch MUST use this
+    single predicate: an f32 plane with 4608 < S <= 9216 admitted by the
+    H-tiled gate clause but dispatched whole-plane retains >16 MB scoped
+    VMEM (Mosaic compile failure on real lowering)."""
+    return S * jnp.dtype(dtype).itemsize <= _PLANE_LANES * 2
 
 
 def _stats_spec(Ci, n_grid: int):
@@ -490,7 +500,7 @@ def _conv3_cf_pallas(x, w, interpret=False, stats=None):
     w_prep = _prep_w(w).astype(x.dtype)
     fuse = stats is not None
     st = (stats.astype(jnp.float32),) if fuse else ()
-    if S > _PLANE_LANES:
+    if not _whole_plane_ok(x.dtype, S) and _ht_supported(H, W):
         TH = _pick_th(H, W, max(Ci, Co))
         st_specs = [_stats_spec(Ci, 3)] if fuse else []
         out = pl.pallas_call(
@@ -535,7 +545,7 @@ def _wgrad_pallas(x, dy, Co, interpret=False, stats=None):
     dyf = dy.reshape(B, D, Co, S)
     fuse = stats is not None
     st = (stats.astype(jnp.float32),) if fuse else ()
-    if S > _PLANE_LANES:
+    if not _whole_plane_ok(x.dtype, S) and _ht_supported(H, W):
         TH = _pick_th(H, W, max(Ci, Co))
         st_specs = [_stats_spec(Ci, 3)] if fuse else []
         dw = pl.pallas_call(
@@ -611,7 +621,9 @@ def cf_plane_supported(H: int, W: int, itemsize: int = 2) -> bool:
     whole-plane mode while a (C, H·W) plane stays inside the bf16-calibrated
     byte budget (f32 planes hit scoped-VMEM OOM at 96² — observed 16.45M at
     the decoder shapes even with 16-channel chunks), H-tiled mode for any
-    128-divisible W (tile working sets are itemsize-insensitive)."""
+    128-divisible W (tile working sets are itemsize-insensitive). The first
+    clause is _whole_plane_ok spelled on itemsize; the kernel dispatch uses
+    the same byte budget, so every admitted shape takes a path that fits."""
     return H * W * itemsize <= _PLANE_LANES * 2 or _ht_supported(H, W)
 
 

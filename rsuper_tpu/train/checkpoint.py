@@ -11,22 +11,23 @@ from __future__ import annotations
 
 import atexit
 import os
-import weakref
 from typing import Optional
 
 import jax
 import orbax.checkpoint as ocp
 
-# async commits must land before interpreter exit; a single module-level
-# atexit hook over a WeakSet avoids pinning every manager (and its orbax
-# thread resources) for the process lifetime (one registration per instance
-# would accumulate across long sessions / test runs)
-_LIVE_MANAGERS: "weakref.WeakSet[CheckpointManager]" = weakref.WeakSet()
+# async commits must land before interpreter exit. Managers hold a STRONG
+# reference here exactly while a commit may be in flight (_save adds, wait
+# removes): a manager whose owner drops it mid-commit stays reachable until
+# the atexit drain lands its data, yet a drained manager is released
+# immediately instead of being pinned for the process lifetime (the failure
+# modes of a WeakSet and of per-instance atexit.register, respectively).
+_PENDING_MANAGERS: "set[CheckpointManager]" = set()
 
 
 @atexit.register
 def _drain_pending_commits() -> None:
-    for mgr in list(_LIVE_MANAGERS):
+    for mgr in list(_PENDING_MANAGERS):
         mgr.wait()
 
 
@@ -39,7 +40,6 @@ class CheckpointManager:
         self.checkpointer = ocp.StandardCheckpointer()
         self.best_metric = -float("inf")
         self.synchronous = synchronous
-        _LIVE_MANAGERS.add(self)
 
     def _path(self, tag: str) -> str:
         return os.path.join(self.directory, tag)
@@ -50,6 +50,7 @@ class CheckpointManager:
             self.checkpointer.wait_until_finished()
         except Exception:  # pragma: no cover - atexit after close
             pass
+        _PENDING_MANAGERS.discard(self)
 
     def _save(self, tag: str, state):
         path = self._path(tag)
@@ -65,8 +66,9 @@ class CheckpointManager:
         # blocks the loop every epoch)
         self.checkpointer.wait_until_finished()
         self.checkpointer.save(path, payload, force=True)
+        _PENDING_MANAGERS.add(self)
         if self.synchronous:
-            self.checkpointer.wait_until_finished()
+            self.wait()
 
     def save_epoch(self, state, epoch: int, metric: Optional[float] = None):
         self._save("latest", state)

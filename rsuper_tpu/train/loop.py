@@ -106,15 +106,21 @@ def train(
         )
     else:
         # multihost: device_put cannot target non-addressable devices; every
-        # process holds the identical host value (same seed), so assembling
-        # the replicated global array from local copies is exact
+        # process holds the identical FULL host value (same seed), so each
+        # addressable shard is materialised by indexing into it. (A plain
+        # make_array_from_process_local_data would misread the full value as
+        # this process's slice for cross-host-sharded specs — the zero_opt
+        # case — and inflate the sharded dimension.)
         sh_tree = (state_shardings if state_shardings is not None
                    else jax.tree.map(lambda _: repl, state))
-        state = jax.tree.map(
-            lambda x, s: jax.make_array_from_process_local_data(
-                s, np.asarray(x)),
-            state, sh_tree,
-        )
+
+        def assemble(x, s):
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, s, lambda idx: arr[idx]
+            )
+
+        state = jax.tree.map(assemble, state, sh_tree)
 
     ckpt = CheckpointManager(exp_dir, save_every=cfg.save_every)
     if cfg.pretrained:
@@ -256,25 +262,10 @@ def train(
 
         val_metric = None
         if test_cases is not None and cfg.val_freq and (epoch + 1) % cfg.val_freq == 0:
-            from .validation import validate_cases, validate_cases_2d
+            from .validation import run_validation
 
-            def apply_fn(params, x):
-                out = model.apply(params, x)["segmentation"]
-                return out[0] if isinstance(out, (list, tuple)) else out
-
-            val_params = state.ema_params if cfg.ema else state.params
-            if jax.process_count() > 1:
-                # run validation per-host on a local copy (mixing the global
-                # replicated params with host-local windows in one jit is
-                # illegal); every process computes the identical metric, so
-                # the collective best-checkpoint save below stays consistent
-                val_params = jax.device_get(val_params)
-            validate = validate_cases_2d if is_2d else validate_cases
-            results = validate(
-                apply_fn,
-                val_params,
-                test_cases, len(cfg.classes), window=cfg.training_size,
-            )
+            results = run_validation(model, state, cfg, test_cases,
+                                     len(cfg.classes), is_2d=is_2d)
             val_metric = float(np.mean(results["dice"]))
             logger.info("epoch %d val dice %.4f", epoch, val_metric)
             metrics_log.log(int(state.step), {"dice_mean": val_metric}, prefix="val/")

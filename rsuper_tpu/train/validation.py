@@ -87,3 +87,28 @@ def validate_cases_2d(
             dices[c] += dice_score(pred[..., c], target)
     denom = np.maximum(counts, 1)
     return {"dice": dices / denom, "cases_per_class": counts}
+
+
+def run_validation(model, state, cfg, cases, num_classes: int,
+                   is_2d: bool = False) -> Dict[str, np.ndarray]:
+    """The single validation harness shared by the in-loop val pass and the
+    end-of-fold crossval pass (reference runs the same eval_net at
+    ``train_ddp.py:388`` and ``:751``): deep-supervision head selection,
+    EMA-vs-raw param choice, multihost-safe param materialisation, and the
+    2D/3D dispatch live HERE so the two call sites cannot drift."""
+    import jax
+
+    def apply_fn(params, x):
+        out = model.apply(params, x)["segmentation"]
+        return out[0] if isinstance(out, (list, tuple)) else out
+
+    val_params = state.ema_params if cfg.ema else state.params
+    if jax.process_count() > 1:
+        # run per-host on a local copy (mixing globally-replicated params
+        # with host-local windows in one jit is illegal); every process
+        # computes the identical metric, so collective best-checkpoint
+        # saves stay consistent
+        val_params = jax.device_get(val_params)
+    validate = validate_cases_2d if is_2d else validate_cases
+    return validate(apply_fn, val_params, cases, num_classes,
+                    window=cfg.training_size)

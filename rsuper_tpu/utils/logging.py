@@ -29,6 +29,15 @@ def _rank_suffix() -> str:
     return ""
 
 
+def _is_primary() -> bool:
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 def setup_logger(exp_dir: str, name: str = "rsuper") -> logging.Logger:
     os.makedirs(exp_dir, exist_ok=True)
     logger = logging.getLogger(name)
@@ -63,7 +72,10 @@ class MetricsLogger:
         os.makedirs(exp_dir, exist_ok=True)
         self.path = os.path.join(exp_dir, f"metrics{_rank_suffix()}.jsonl")
         self.tb = None
-        if tensorboard:
+        # TB is rank-gated (unlike the rank-SUFFIXED jsonl): every host logs
+        # identical scalars, and N writers in one tb/ dir render as N
+        # overlapping series per tag
+        if tensorboard and _is_primary():
             try:
                 from .tb_events import EventWriter
 

@@ -251,18 +251,10 @@ def main(argv=None):
             summarize_cross_validation,
             write_fold_results,
         )
-        from rsuper_tpu.train.validation import validate_cases, validate_cases_2d
+        from rsuper_tpu.train.validation import run_validation
 
-        def apply_fn(params, x):
-            out = model.apply(params, x)["segmentation"]
-            return out[0] if isinstance(out, (list, tuple)) else out
-
-        val_params = jax.device_get(
-            state.ema_params if cfg.ema else state.params
-        )
-        validate = validate_cases_2d if is_2d else validate_cases
-        results = validate(apply_fn, val_params, _LazyTestCases(),
-                           len(classes), window=cfg.training_size)
+        results = run_validation(model, state, cfg, _LazyTestCases(),
+                                 len(classes), is_2d=is_2d)
         if jax.process_index() == 0:
             exp_dir = f"{cfg.cp_path}/{cfg.unique_name}"
             write_fold_results(exp_dir, args.fold, args.k_fold, classes,
