@@ -133,12 +133,26 @@ def parse_malignant_size(answer: str, organ: str) -> Dict[str, object]:
     """The reference's 'malignant size' step (RadGPT.py:1475-1479): the
     LARGEST malignant-tumor size in the organ, in mm (None if unparseable)."""
     text = _strip_think(answer).lower()
-    pat = rf"{re.escape(organ.lower())} malignant tumor size\s*[=:]\s*(.*?)(cm|mm)"
-    sizes = []
-    for raw, unit in re.findall(pat, text):
-        for n in _NUM_RE.findall(raw):
-            sizes.append(float(n) * (10.0 if unit == "cm" else 1.0))
+    pat = rf"{re.escape(organ.lower())} malignant tumor size\s*[=:]\s*(.*?)(?:[;\n]|$)"
+    sizes = [
+        mm for raw in re.findall(pat, text)
+        if (mm := _max_size_mm(raw)) is not None
+    ]
     return {f"Malignant Tumor in {organ}": max(sizes) if sizes else None}
+
+
+def parse_time_machine(answer: str, organ: str) -> Dict[str, object]:
+    """The reference's 'time machine' step (RadGPT.py:1480-1484): hindsight
+    malignancy verdict on the earlier report (1/0/None like the malignancy
+    step) + the largest size Report 1 gives for that lesion, in mm."""
+    text = _strip_think(answer)
+    verdict_pat = (rf"very likely malignancy in {re.escape(organ.lower())} "
+                   rf"in the first exam\s*[=:]\s*.*?(?:;|$|,|/|yes|no|u)")
+    size = parse_malignant_size(answer, organ)[f"Malignant Tumor in {organ}"]
+    return {
+        f"Very Likely Malignancy in {organ}": _yes_no_u(verdict_pat, text),
+        f"Very Likely Malignant Tumor Size in {organ}": size,
+    }
 
 
 def parse_lesion_answer(answer: str) -> List[Dict[str, str]]:

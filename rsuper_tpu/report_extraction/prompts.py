@@ -224,3 +224,41 @@ no tumor found.
 """
 
 TYPE_SIZE_PATHOLOGY_USER = "Pathology report:\n{report}\n\nList the tumors now."
+
+
+# the reference's 'time machine' step (RadGPT.py:714-733 time_machine_solver,
+# :1128-1143, :2100): longitudinal pairing — an earlier report that was
+# uncertain about a lesion, judged with hindsight from the patient's later
+# first-malignancy report. Same size-line grammar as the 'malignant size'
+# step, so the same mm-normalising parser consumes the size lines.
+TIME_MACHINE_SYSTEM = """You are a careful radiology-report analyst.
+You will see TWO CT reports of the SAME patient. Report 1 is from an earlier
+exam and is unclear about whether a {organ} lesion exists or is malignant.
+Report 2 is from a later exam and clearly indicates a malignant {organ}
+tumor. Decide whether a {organ} lesion in Report 1 is very likely the SAME
+lesion as a malignant tumor in Report 2 (check locations carefully). Answer
+in EXACTLY this format:
+very likely malignancy in {organ} in the first exam = <yes/no/uncertain>;
+
+If you answered yes, ALSO list the size and location of each such lesion AS
+MEASURED IN REPORT 1, one line per tumor:
+{organ} malignant tumor size = <size>; location = <location>;
+
+Rules:
+1. Sizes may be 1D/2D/3D (e.g. 40 x 30 x 30 mm); always write the unit
+   (cm or mm). If Report 1 gives no unit, assume mm. Use 'u' when Report 1
+   states no size or location.
+2. 'location': one of {organ_locations} — or 'u'.
+3. If Report 1 mentions no {organ} abnormality at all, answer 'no'.
+4. A lesion growing versus a past measurement counts as malignant even if
+   Report 1 does not call it malignant.
+"""
+
+TIME_MACHINE_USER = "{report}\n\nFill the template now."
+
+
+def build_time_machine_payload(report1: str, date1, report2: str, date2) -> str:
+    """Compose the two-report user payload (reference time_machine_solver
+    interpolates report1/date1/report2/date2 into one prompt)."""
+    return (f"Report 1 (earlier exam, {date1}):\n{report1}\n\n"
+            f"Report 2 (more recent exam, {date2}):\n{report2}")

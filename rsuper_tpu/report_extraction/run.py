@@ -56,7 +56,44 @@ STEPS = {
                                PR.REFINE_NORMAL_USER),
     "matching_reports": (PR.MATCHING_REPORTS_SYSTEM,
                          PR.MATCHING_REPORTS_USER),
+    "time_machine": (PR.TIME_MACHINE_SYSTEM, PR.TIME_MACHINE_USER),
 }
+
+
+def pair_time_machine_reports(
+    df: pd.DataFrame,
+    id_column: str = "BDMAP_ID",
+    report_column: str = "Report Text",
+    timeline_column: str = "pancreatic cancer timeline",
+    patient_column: str = "Assigned Number",
+    date_column: str = "Exam Started Date",
+) -> pd.DataFrame:
+    """The 'time machine' pairing (reference RadGPT.py:2188-2205 +
+    ``get_first_malignancy`` :1766-1803): keep exams whose timeline marks a
+    'pre-diagnosis' report, pair each with the same patient's
+    chronologically-first 'first positive' report, and compose the
+    two-report payload the prompt consumes. Rows without a matched
+    first-malignancy report are dropped (the reference raises; skipping
+    keeps a sharded run alive)."""
+    rows = []
+    for _, r in df.iterrows():
+        timeline = r.get(timeline_column)
+        if not isinstance(timeline, str) or "pre-diagnosis" not in timeline:
+            continue
+        patient = df[df[patient_column] == r[patient_column]]
+        patient = patient.sort_values(date_column)
+        first = patient[patient[timeline_column] == "first positive"]
+        if first.empty:
+            continue
+        diag = first.iloc[0]
+        rows.append({
+            id_column: r[id_column],
+            report_column: PR.build_time_machine_payload(
+                str(r[report_column]), r.get(date_column),
+                str(diag[report_column]), diag[date_column],
+            ),
+        })
+    return pd.DataFrame(rows, columns=[id_column, report_column])
 
 
 def run_extraction(
@@ -81,6 +118,9 @@ def run_extraction(
     df = pd.read_csv(reports_csv)
     if "BDMAP ID" in df.columns:
         df = df.rename(columns={"BDMAP ID": id_column})
+    if step == "time_machine":
+        # pair BEFORE part-sharding so every part sees whole patients
+        df = pair_time_machine_reports(df, id_column, report_column)
     df = df.iloc[part::parts]
 
     done = set()
@@ -205,6 +245,12 @@ def postprocess_answers(out_dir: str, step: str = "type_and_size",
                 for cid, ans in answers.items()]
         pd.DataFrame(rows).to_csv(
             os.path.join(out_dir, "matching_reports.csv"), index=False)
+        return
+    if step == "time_machine":
+        rows = [{"BDMAP_ID": cid, **P.parse_time_machine(ans, organ)}
+                for cid, ans in answers.items()]
+        pd.DataFrame(rows).to_csv(
+            os.path.join(out_dir, f"time_machine_{organ}.csv"), index=False)
         return
     parsed = {cid: parse_lesion_answer(ans) for cid, ans in answers.items()}
     per_tumor = build_per_tumor_csv(parsed)

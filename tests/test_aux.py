@@ -605,3 +605,58 @@ def test_parse_research_steps(tmp_path):
             f.write(_json.dumps({"id": "BDMAP_A", "answer": "x"}) + "\n")
         postprocess_answers(str(d), step=step, organ="pancreas")
         assert any(p.suffix == ".csv" for p in d.iterdir())
+
+
+def test_time_machine_step(tmp_path):
+    """The reference's 'time machine' step (RadGPT.py:714-733, :1480-1484,
+    :1766-1803, :2188-2205): pre-diagnosis reports pair with the patient's
+    first-malignancy report, and the answer parses into the hindsight
+    verdict + Report-1 size."""
+    import json as _json
+
+    from rsuper_tpu.report_extraction.parse import parse_time_machine
+    from rsuper_tpu.report_extraction.run import (
+        STEPS,
+        pair_time_machine_reports,
+        postprocess_answers,
+    )
+
+    assert "time_machine" in STEPS
+
+    df = pd.DataFrame({
+        "BDMAP_ID": ["A1", "A2", "B1", "C1"],
+        "Assigned Number": [1, 1, 2, 3],
+        "Exam Started Date": ["2019-01-01", "2021-06-01", "2020-01-01",
+                              "2022-01-01"],
+        "pancreatic cancer timeline": ["pre-diagnosis", "first positive",
+                                       "pre-diagnosis", float("nan")],
+        "Report Text": ["small cystic focus, indeterminate",
+                        "pancreatic adenocarcinoma 3 cm",
+                        "vague hypodensity", "normal exam"],
+    })
+    pairs = pair_time_machine_reports(df)
+    # A1 pairs with A2; B1 has no first-positive partner; C1 has no timeline
+    assert pairs["BDMAP_ID"].tolist() == ["A1"]
+    payload = pairs.iloc[0]["Report Text"]
+    assert "Report 1 (earlier exam, 2019-01-01)" in payload
+    assert "indeterminate" in payload
+    assert "adenocarcinoma" in payload and "2021-06-01" in payload
+
+    ans = ("<think>hindsight</think>\n"
+           "very likely malignancy in pancreas in the first exam = yes;\n"
+           "pancreas malignant tumor size = 1.2 x 0.8 cm; location = head;\n")
+    out = parse_time_machine(ans, "pancreas")
+    assert out["Very Likely Malignancy in pancreas"] == 1
+    assert out["Very Likely Malignant Tumor Size in pancreas"] == 12.0
+    out_no = parse_time_machine(
+        "very likely malignancy in pancreas in the first exam = no;",
+        "pancreas")
+    assert out_no["Very Likely Malignancy in pancreas"] == 0
+    assert out_no["Very Likely Malignant Tumor Size in pancreas"] is None
+
+    with open(tmp_path / "raw_answers_part0.jsonl", "w") as f:
+        f.write(_json.dumps({"id": "A1", "answer": ans}) + "\n")
+    postprocess_answers(str(tmp_path), step="time_machine", organ="pancreas")
+    out_df = pd.read_csv(tmp_path / "time_machine_pancreas.csv")
+    assert out_df.iloc[0]["Very Likely Malignancy in pancreas"] == 1
+    assert out_df.iloc[0]["Very Likely Malignant Tumor Size in pancreas"] == 12.0
