@@ -147,6 +147,37 @@ def smoke():
     fused_case("fused_in_relu_ht_bf16", 8, 8, (4, 128, 128), jnp.bfloat16)
     fused_case("fused_in_relu_chunked_bf16", 64, 32, (4, 96, 96), jnp.bfloat16)
 
+    from rsuper_tpu.ops import dwconv
+
+    def dw_case(name, C, S, dtype):
+        x = jnp.asarray(rng.normal(size=(1, S[0], S[1], S[2], C)), dtype)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, 1, C)) * 0.2, jnp.float32)
+
+        def run():
+            def f(x, w):
+                y = dwconv.depthwise_conv3x3x3(x, w, force_pallas=True)
+                return jnp.sum(y.astype(jnp.float32) ** 2), y
+
+            (loss, y), (gx, gw) = jax.value_and_grad(
+                f, argnums=(0, 1), has_aux=True
+            )(x, w)
+            ref = dwconv._dw_xla(x, w).astype(jnp.float32)
+            err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref)))
+            scale = max(1.0, float(jnp.max(jnp.abs(ref))))
+            tol = (0.02 if dtype == jnp.bfloat16 else 1e-4) * scale
+            assert err < tol, f"fwd mismatch {err} (scale {scale})"
+            assert np.isfinite(float(loss))
+            assert np.isfinite(float(jnp.sum(gx.astype(jnp.float32))))
+            assert np.isfinite(float(jnp.sum(gw)))
+
+        check(name, run)
+
+    # the MedFormer depthwise sites (MBConv FF + patch-merging reduction):
+    # C in {256, 512, 1024} — tiny spatial stand-ins for 48^3/24^3/12^3
+    dw_case("dwconv_256_bf16", 256, (4, 8, 8), jnp.bfloat16)
+    dw_case("dwconv_512_bf16", 512, (3, 8, 8), jnp.bfloat16)
+    dw_case("dwconv_1024_f32", 1024, (3, 8, 8), jnp.float32)
+
     def topn():
         x = jnp.asarray(rng.normal(size=(2, 4096)), jnp.float32)
         ns = jnp.asarray([[64.0, 16.0], [256.0, 8.0]], jnp.float32)

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.dwconv import depthwise_conv3x3x3
+
 Dtype = Any
 KernelArg = Union[int, Sequence[int]]
 
@@ -159,6 +161,28 @@ def make_act(act: str) -> Callable:
     }[act]
 
 
+class DepthwiseConv3(nn.Module):
+    """3³ stride-1 depthwise conv, routed to the Pallas channel-last kernel
+    (``ops/dwconv.py``) on TPU — XLA's grouped-conv lowering is 10-20× off
+    the bandwidth bound at these shapes (docs/perf.md round 3). Same params
+    and init as ``nn.Conv(c, (3,3,3), feature_group_count=c)``."""
+
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, 1, c), jnp.float32)
+        y = depthwise_conv3x3x3(x.astype(self.dtype), kernel)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (c,),
+                              jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class ConvNormAct(nn.Module):
     """conv → norm → act (or pre-activation: norm → act → conv).
 
@@ -177,16 +201,25 @@ class ConvNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        conv = nn.Conv(
-            self.features,
-            _kernel3(self.kernel_size),
-            strides=_kernel3(self.strides) if not isinstance(self.strides, int) else (self.strides,) * 3,
-            padding="SAME",
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )
+        strides = (_kernel3(self.strides)
+                   if not isinstance(self.strides, int)
+                   else (self.strides,) * 3)
+        if (self.groups > 1 and self.groups == self.features
+                and x.shape[-1] == self.groups
+                and _kernel3(self.kernel_size) == (3, 3, 3)
+                and strides == (1, 1, 1)):
+            conv = DepthwiseConv3(use_bias=self.use_bias, dtype=self.dtype)
+        else:
+            conv = nn.Conv(
+                self.features,
+                _kernel3(self.kernel_size),
+                strides=strides,
+                padding="SAME",
+                feature_group_count=self.groups,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )
         norm_fn = make_norm(self.norm)()
         act_fn = make_act(self.act)
         if self.preact:
@@ -261,11 +294,14 @@ class DepthwiseSeparableConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        x = nn.Conv(
-            c, _kernel3(self.kernel_size), strides=(self.strides,) * 3,
-            padding="SAME", feature_group_count=c, use_bias=self.use_bias,
-            dtype=self.dtype, param_dtype=jnp.float32,
-        )(x)
+        if _kernel3(self.kernel_size) == (3, 3, 3) and self.strides == 1:
+            x = DepthwiseConv3(use_bias=self.use_bias, dtype=self.dtype)(x)
+        else:
+            x = nn.Conv(
+                c, _kernel3(self.kernel_size), strides=(self.strides,) * 3,
+                padding="SAME", feature_group_count=c, use_bias=self.use_bias,
+                dtype=self.dtype, param_dtype=jnp.float32,
+            )(x)
         return nn.Conv(
             self.features, (1, 1, 1), use_bias=self.use_bias,
             dtype=self.dtype, param_dtype=jnp.float32,

@@ -71,10 +71,12 @@ def test_medformer_cf_fullres_equivalent():
 
     g_cl = jax.grad(loss)(p_cl, m_cl)
     g_cf = jax.grad(loss)(p_cl, m_cf)
-    # float accumulation-order noise through the deep graph reaches ~3e-4
-    # relative on O(100) gradient values; real layout bugs are O(1) relative
+    # float accumulation-order noise through the deep graph reaches ~1e-3
+    # relative on O(100)-O(1000) gradient values (weight-draw dependent: the
+    # DepthwiseConv3 rename reshuffled the init streams and moved the tail);
+    # real layout bugs are O(1) relative
     for a, b in zip(jax.tree.leaves(g_cl), jax.tree.leaves(g_cf)):
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-2)
+        np.testing.assert_allclose(a, b, rtol=3e-3, atol=5e-2)
 
 
 @pytest.mark.slow

@@ -533,3 +533,41 @@ class TestConvCF:
         gx_x, gw_x = jax.grad(f_xla, argnums=(0, 1))(x_cf, w)
         np.testing.assert_allclose(gx_p, gx_x, atol=1e-4)
         np.testing.assert_allclose(gw_p, gw_x, atol=1e-3)
+
+
+def test_depthwise_conv_pallas_matches_xla():
+    """ops/dwconv.py: the channel-last Pallas depthwise 3^3 conv matches the
+    XLA grouped-conv semantics (fwd + both grads), incl. volume edges."""
+    import jax
+
+    from rsuper_tpu.ops import dwconv
+
+    rng = np.random.default_rng(3)
+    # shapes cover: single tile, multi-C-chunk, odd H (TH=1), multi-H-tile
+    for (B, D, H, W, C) in [(1, 6, 8, 8, 128), (2, 4, 5, 8, 256),
+                            (1, 3, 12, 12, 256)]:
+        x = jnp.asarray(rng.normal(size=(B, D, H, W, C)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, 1, C)) * 0.2, jnp.float32)
+        assert dwconv.dw_supported(x.shape, x.dtype)
+
+        def f_p(x, w):
+            return jnp.sum(dwconv.depthwise_conv3x3x3(
+                x, w, force_pallas=True, interpret=True) ** 2)
+
+        def f_x(x, w):
+            return jnp.sum(dwconv._dw_xla(x, w) ** 2)
+
+        lp, (gxp, gwp) = jax.value_and_grad(f_p, (0, 1))(x, w)
+        lx, (gxx, gwx) = jax.value_and_grad(f_x, (0, 1))(x, w)
+        assert abs(float(lp - lx)) < 1e-2 * max(1.0, abs(float(lx)))
+        assert float(jnp.max(jnp.abs(gxp - gxx))) < 1e-3
+        scale = max(1.0, float(jnp.max(jnp.abs(gwx))))
+        assert float(jnp.max(jnp.abs(gwp - gwx))) < 1e-3 * scale
+
+    # gate rejects non-128-divisible channels (lane packing is the point)
+    # and whole planes that overflow the scoped-VMEM budget (fall to XLA);
+    # the largest production site — 64^2 in-plane bf16 at 128^3 training —
+    # must pass
+    assert not dwconv.dw_supported((1, 4, 8, 8, 96), jnp.float32)
+    assert not dwconv.dw_supported((1, 4, 512, 512, 256), jnp.bfloat16)
+    assert dwconv.dw_supported((2, 64, 64, 64, 256), jnp.bfloat16)
