@@ -18,12 +18,15 @@ from rsuper_tpu.ops import dwconv
 
 
 def timeit(fn, *args, reps=20):
-    fn(*args)[0].block_until_ready()  # compile
-    # relay-safe timing: fetch a scalar after the timed region
+    # fn returns a SCALAR (reduced inside the jit): fetching a raw tensor
+    # element through the relay devolves into a slow gather and poisons the
+    # measurement (first version of this tool measured 16 s "fwd" times)
+    float(fn(*args))  # compile + settle
+    float(fn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    float(out[0].ravel()[0])
+    float(out)
     return (time.perf_counter() - t0) / reps * 1e3
 
 
@@ -43,14 +46,6 @@ def main():
         w = jnp.asarray(rng.normal(size=(3, 3, 3, 1, C)) * 0.2, jnp.float32)
         sup = dwconv.dw_supported(x.shape, x.dtype)
 
-        @jax.jit
-        def f_pal(x, w):
-            return (dwconv.depthwise_conv3x3x3(x, w, force_pallas=True),)
-
-        @jax.jit
-        def f_xla(x, w):
-            return (dwconv._dw_xla(x, w),)
-
         def loss_pal(x, w):
             return jnp.sum(
                 dwconv.depthwise_conv3x3x3(
@@ -59,8 +54,14 @@ def main():
         def loss_xla(x, w):
             return jnp.sum(dwconv._dw_xla(x, w).astype(jnp.float32) ** 2)
 
-        g_pal = jax.jit(lambda x, w: jax.grad(loss_pal, (0, 1))(x, w))
-        g_xla = jax.jit(lambda x, w: jax.grad(loss_xla, (0, 1))(x, w))
+        f_pal = jax.jit(loss_pal)
+        f_xla = jax.jit(loss_xla)
+        g_pal = jax.jit(lambda x, w: sum(
+            jnp.sum(g.astype(jnp.float32) ** 2)
+            for g in jax.grad(loss_pal, (0, 1))(x, w)))
+        g_xla = jax.jit(lambda x, w: sum(
+            jnp.sum(g.astype(jnp.float32) ** 2)
+            for g in jax.grad(loss_xla, (0, 1))(x, w)))
 
         row = [f"{D}^3/{C} {np.dtype(dt).name} sup={sup}"]
         if sup:
