@@ -48,6 +48,10 @@ class TrainConfig:
     # ZeRO-1: shard Adam moments over the mesh data axis (reduce_scatter /
     # all_gather inserted by XLA from sharding specs; parallel/mesh.py)
     zero_opt: bool = False
+    # spatial (context-parallel) sharding: split each volume's depth axis
+    # over an N-chip mesh `model` axis (activation memory / chip ÷ N; XLA
+    # inserts conv halo exchanges). Disables Pallas kernels (ops/dispatch.py).
+    spatial_shard: int = 1
     # losses (see losses.dispatcher.LossConfig)
     loss: str = "ball_dice_last"
     aux_weight: Tuple[float, ...] = (0.5, 0.5)

@@ -41,6 +41,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from . import dispatch
 
 
 def _row(ref):
@@ -638,7 +639,7 @@ def conv3x3x3_cf(x, w, force_pallas: bool = False, interpret: bool = False):
     """
     H, W = x.shape[3], x.shape[4]
     ok = cf_plane_supported(H, W, x.dtype.itemsize)
-    if (force_pallas or jax.default_backend() == "tpu") and ok:
+    if (force_pallas or dispatch.pallas_enabled()) and ok:
         return _conv3_cf(x, w.astype(x.dtype), interpret)
     return _conv3_cf_xla(x, w.astype(x.dtype))
 
@@ -715,6 +716,6 @@ def in_relu_conv3x3x3_cf(x, w, eps: float = 1e-4, force_pallas: bool = False,
     no affine, relu; reference ``conv_layers.py:16-54``)."""
     H, W = x.shape[3], x.shape[4]
     ok = cf_plane_supported(H, W, x.dtype.itemsize)
-    if (force_pallas or jax.default_backend() == "tpu") and ok:
+    if (force_pallas or dispatch.pallas_enabled()) and ok:
         return _in_relu_conv(x, w.astype(x.dtype), eps, interpret)
     return _in_relu_conv_xla(x, w, eps)

@@ -1,0 +1,51 @@
+"""Central Pallas dispatch switch.
+
+Every Pallas kernel in ``ops/`` (channel-first conv, depthwise conv, top-N
+bisection) is an XLA *custom call* — GSPMD cannot partition one. Under
+spatial (context-parallel) sharding, activations arrive depth-sharded over
+the mesh ``model`` axis and the custom call would force a full all-gather or
+fail to lower, so the trainer turns Pallas off process-wide before tracing
+(``train/step.build_train_step`` when the mesh has a >1 ``model`` axis) and
+XLA's partitionable convolutions take over, halo exchanges included.
+
+The flag is consulted at TRACE time: set it before the first call of any
+jitted function whose trace should honour it (jit caches do not key on it).
+``RSUPER_DISABLE_PALLAS=1`` in the environment forces it off.
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+
+import jax
+
+_PALLAS_ENABLED = True
+
+
+def set_pallas_enabled(enabled: bool) -> None:
+    global _PALLAS_ENABLED
+    _PALLAS_ENABLED = bool(enabled)
+
+
+def pallas_enabled() -> bool:
+    """True when Pallas kernels may be dispatched on this backend."""
+    if os.environ.get("RSUPER_DISABLE_PALLAS"):
+        return False
+    if not _PALLAS_ENABLED:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # backend not initialised yet
+        return False
+
+
+@contextmanager
+def pallas_disabled():
+    global _PALLAS_ENABLED
+    prev = _PALLAS_ENABLED
+    _PALLAS_ENABLED = False
+    try:
+        yield
+    finally:
+        _PALLAS_ENABLED = prev

@@ -53,6 +53,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import dispatch
+
 _CB = 128  # channel chunk = one full lane register width
 
 # Mosaic stack budget: the fused backward's live set measures ~15x the f32
@@ -260,7 +262,7 @@ def depthwise_conv3x3x3(x, w, force_pallas: bool = False,
     when the gate passes, XLA everywhere else (identical semantics, tested).
     """
     assert w.shape[:4] == (3, 3, 3, 1) and w.shape[4] == x.shape[-1]
-    use = (force_pallas or jax.default_backend() == "tpu") and \
+    use = (force_pallas or dispatch.pallas_enabled()) and \
         dw_supported(x.shape, x.dtype)
     if not use:
         return _dw_xla(x, w)

@@ -50,14 +50,9 @@ def topn_threshold(x, n, *, iters: int = 26, hi=None):
 
 
 def _use_pallas() -> bool:
-    import os
+    from .dispatch import pallas_enabled
 
-    if os.environ.get("RSUPER_DISABLE_PALLAS"):
-        return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    return pallas_enabled()
 
 
 # VMEM budget: volumes up to ~3.5M f32 elements fit on-chip (~14 MB + slack)

@@ -58,6 +58,68 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def spatial_constraint(batch, mesh: Mesh):
+    """Constrain volumetric batch arrays to *spatial* (context-parallel)
+    sharding: depth (axis 1 of (B, D, H, W, C); rows of 2D (B, H, W, C))
+    sharded over the ``model`` axis, batch over ``data``.
+
+    Annotation-only by design — XLA's SPMD partitioner derives everything
+    else from these constraints: convolutions become shard-local convs with
+    halo exchanges over ICI, instance-norm reductions become cross-shard
+    ``psum``s, and attention over the flattened volume re-gathers only where
+    the einsum actually needs the full extent. This is the CNN analogue of
+    context parallelism (SURVEY.md §2.4): a single 128³ patch's activations
+    (~4× a 96³ patch) split across chips instead of replicating.
+
+    Non-volumetric leaves (volumes/diameters/class weights) stay
+    batch-sharded. Pallas kernels must be OFF under this mode — a custom
+    call cannot be partitioned (``ops/dispatch.py``).
+
+    CORRECTNESS BOUND (measured, tests/test_train.py): XLA SPMD conv
+    *gradients* are exact (~4e-5 abs) only while every feature map keeps
+    **≥ 2 planes per shard**. At exactly 1 plane/shard grads are silently
+    3-7× WRONG (loss still matches!), and with an all-padding empty shard
+    (sharded extent < shard count) they were 5000× off. The zoo downsamples
+    depth ≤16×, so ``train()`` enforces
+    ``training_size[0] // 16 >= 2 * spatial_shard``.
+    """
+    vol = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+    dat = NamedSharding(mesh, P(DATA_AXIS))
+
+    def leaf(x):
+        if x is None:
+            return x
+        sh = vol if getattr(x, "ndim", 0) >= 4 else dat
+        return jax.lax.with_sharding_constraint(x, sh)
+
+    return jax.tree.map(leaf, batch)
+
+
+def gather_spatial(out, batch, mesh: Mesh):
+    """Constrain loss inputs back to batch-only sharding at the model/loss
+    boundary under spatial sharding.
+
+    Spatial sharding exists for the MODEL's activations (the memory/compute
+    bulk); the R-Super losses are branchy global ops — FFT localisation,
+    top-N selection, whole-volume sorts — that GSPMD cannot usefully
+    partition over depth (and the XLA:CPU fft thunk rejects the non-default
+    layouts partitioned FFTs get assigned). Constraining the model outputs
+    and loss-consumed batch arrays to ``P(data)`` makes XLA all-gather each
+    volume over the ``model`` axis exactly once, after which the loss stack
+    runs identically to pure data parallelism. The gather's transpose
+    re-shards the cotangent into the model, so gradient parity is preserved
+    (tests/test_train.py::test_train_step_spatial_sharding).
+    """
+    dat = NamedSharding(mesh, P(DATA_AXIS))
+
+    def leaf(x):
+        if x is None or getattr(x, "ndim", 0) < 1:
+            return x
+        return jax.lax.with_sharding_constraint(x, dat)
+
+    return jax.tree.map(leaf, out), jax.tree.map(leaf, batch)
+
+
 def zero_sharding_tree(mesh: Mesh, tree, min_size: int = 16384):
     """ZeRO-1-style sharding specs for an optimizer-state pytree: each large
     leaf is sharded over the ``data`` axis along its largest divisible

@@ -65,11 +65,26 @@ def train(
         import math
 
         n_dev = len(jax.devices())
-        k = math.gcd(cfg.batch_size, n_dev)
-        if k < n_dev:
-            print(f"[train] batch_size {cfg.batch_size} not divisible by "
-                  f"{n_dev} devices; using a {k}-device data mesh", flush=True)
-        mesh = make_mesh(jax.devices()[:k])
+        sp = max(1, cfg.spatial_shard)
+        assert n_dev % sp == 0, (
+            f"spatial_shard {sp} must divide the {n_dev} available devices"
+        )
+        if sp > 1:
+            # XLA SPMD conv grads are silently wrong once a feature map
+            # drops below 2 planes per shard (parallel/mesh.spatial_constraint
+            # — measured 3-7x off at 1 plane/shard with matching loss); the
+            # model zoo downsamples depth at most 16x
+            assert cfg.training_size[0] // 16 >= 2 * sp, (
+                f"spatial_shard {sp} too large for depth "
+                f"{cfg.training_size[0]}: the deepest feature map "
+                f"({cfg.training_size[0] // 16} planes) must keep >= 2 planes "
+                "per shard or XLA SPMD conv gradients are silently incorrect"
+            )
+        k = math.gcd(cfg.batch_size, n_dev // sp)
+        if k * sp < n_dev:
+            print(f"[train] using a {k}x{sp} (data x model) mesh over "
+                  f"{n_dev} devices (batch {cfg.batch_size})", flush=True)
+        mesh = make_mesh(jax.devices()[: k * sp], data=k, model=sp)
     lmap = LesionChannelMap.from_classes(cfg.classes)
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 

@@ -32,8 +32,15 @@ def _lift_2d(x):
 
 def loss_fn(params, model, batch: Dict[str, Any], lmap: LesionChannelMap,
             cfg: LossConfig, model_genesis: bool = False,
-            clip_only: bool = False, data_axis=None):
+            clip_only: bool = False, data_axis=None, spatial_mesh=None):
     out = model.apply(params, batch["image"])
+    if spatial_mesh is not None:
+        # spatial sharding stops at the model/loss boundary: gather each
+        # volume over the mesh `model` axis so the branchy global losses
+        # (FFT, top-N, sorts) run batch-sharded (parallel.mesh.gather_spatial)
+        from ..parallel.mesh import gather_spatial
+
+        out, batch = gather_spatial(out, batch, spatial_mesh)
     if batch["image"].ndim == 4 and not clip_only:  # 2D slices
         seg = out.get("segmentation")
         if isinstance(seg, (tuple, list)):
@@ -79,13 +86,28 @@ def build_train_step(
     state replicated) so the same compiled step runs 1..N chips. Pass
     `state_shardings` (e.g. ``parallel.mesh.zero_state_shardings``) to
     override the replicated state placement — ZeRO-1 optimizer sharding.
+
+    A mesh with a >1 ``model`` axis turns on *spatial* (context-parallel)
+    sharding: volumetric batch arrays are constrained to shard their depth
+    axis over ``model`` (``parallel.mesh.spatial_constraint``) and GSPMD
+    partitions the model's convs/norms/attention with halo exchanges and
+    psums over ICI. Pallas kernels are disabled process-wide at build time
+    (custom calls cannot be partitioned; ``ops/dispatch.py``).
     """
+    spatial = mesh is not None and mesh.shape.get("model", 1) > 1
+    if spatial:
+        from ..ops import dispatch
+        from ..parallel.mesh import spatial_constraint
+
+        dispatch.set_pallas_enabled(False)
 
     def train_step(state: TrainState, batch):
+        if spatial:
+            batch = spatial_constraint(batch, mesh)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, losses), grads = grad_fn(
             state.params, model, batch, lmap, cfg,
-            model_genesis, clip_only,
+            model_genesis, clip_only, None, mesh if spatial else None,
         )
         state = state.apply_gradients(grads, ema_alpha=ema_alpha)
         return state, losses

@@ -55,6 +55,11 @@ def parse_args(argv=None):
     p.add_argument("--k_fold", type=int, default=0,
                    help="k-fold cross-validation (0 = simple split)")
     p.add_argument("--fold", type=int, default=0, help="fold index to run")
+    p.add_argument("--zero_opt", action="store_true",
+                   help="ZeRO-1: shard Adam moments over the mesh data axis")
+    p.add_argument("--spatial_shard", type=int, default=None,
+                   help="context parallelism: split each volume's depth over "
+                        "an N-chip mesh `model` axis (parallel/mesh.py)")
     # multi-host SPMD (reference --dist_url/--world_size/--rank,
     # train_ddp.py:423-426): one process per host, one global mesh
     p.add_argument("--dist_coordinator", default=None,
@@ -116,6 +121,8 @@ def main(argv=None):
         overrides.pop("class_weights", None)
     if not args.clip_pretrain:
         overrides.pop("clip_pretrain", None)
+    if not args.zero_opt:
+        overrides.pop("zero_opt", None)
     cfg = load_config(args.preset, args.config, overrides)
 
     from rsuper_tpu.data.dataset import (
