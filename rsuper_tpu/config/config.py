@@ -48,6 +48,9 @@ class TrainConfig:
     # ZeRO-1: shard Adam moments over the mesh data axis (reduce_scatter /
     # all_gather inserted by XLA from sharding specs; parallel/mesh.py)
     zero_opt: bool = False
+    # also shard the EMA parameter copy over the data axis (saves another
+    # 1x params of f32 per chip; gathered once per validation/export)
+    zero_ema: bool = False
     # spatial (context-parallel) sharding: split each volume's depth axis
     # over an N-chip mesh `model` axis (activation memory / chip ÷ N; XLA
     # inserts conv halo exchanges). Disables Pallas kernels (ops/dispatch.py).

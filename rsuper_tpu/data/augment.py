@@ -184,6 +184,41 @@ def affine_sample(vol, theta, order: int = 1):
     return out.astype(vol.dtype)
 
 
+def _sample_window(vol, theta, out_size, start, order: int):
+    """Affine-sample only the `out_size` window of the FULL-volume output
+    grid starting at `start` — bitwise-identical to
+    ``center_crop(affine_sample(vol, theta))`` when ``start`` is the centre
+    offset, but touches `prod(out_size)` output voxels instead of the whole
+    margined load volume (2.4× fewer gathers at the 116·136² → 96³ shapes
+    the train pipeline uses; docs/perf.md lever 2)."""
+    full = vol.shape[:3]
+    axes = [
+        jnp.linspace(-1.0, 1.0, n)[s : s + o]
+        for n, o, s in zip(full, out_size, start)
+    ]
+    zz, yy, xx = jnp.meshgrid(*axes, indexing="ij")
+    coords = jnp.stack([zz, yy, xx, jnp.ones_like(zz)], axis=0).reshape(4, -1)
+    src = theta @ coords
+    shp = jnp.asarray(full, jnp.float32)
+    vox = (src + 1.0) * 0.5 * (shp[:, None] - 1.0)
+    out = jax.scipy.ndimage.map_coordinates(
+        vol.astype(jnp.float32), list(vox), order=order, mode="constant",
+        cval=0.0,
+    )
+    return out.reshape(out_size)
+
+
+@partial(jax.jit, static_argnames=("out_size", "start", "order"))
+def affine_sample_window(vol, theta, out_size, start, order: int = 1):
+    """`affine_sample` fused with a static window crop of the output grid;
+    (D,H,W) or (D,H,W,C). Equals ``affine_sample(vol, theta)[window]``."""
+    if vol.ndim == 3:
+        return _sample_window(vol, theta, out_size, start, order).astype(vol.dtype)
+    out = jax.vmap(lambda c: _sample_window(c, theta, out_size, start, order),
+                   in_axes=-1, out_axes=-1)(vol)
+    return out.astype(vol.dtype)
+
+
 def random_affine(img, lab, key, scale=(0.0, 0.0, 0.0), rotate=(30.0, 30.0, 30.0),
                   translate=(0.0, 0.0, 0.0), shear=(0.0, 0.0, 0.0)):
     """Random affine on an image (trilinear) + labels (nearest), like the

@@ -147,18 +147,34 @@ def zero_sharding_tree(mesh: Mesh, tree, min_size: int = 16384):
     return jax.tree.map(leaf, tree)
 
 
-def zero_state_shardings(mesh: Mesh, state):
+def zero_state_shardings(mesh: Mesh, state, shard_ema: bool = False):
     """Sharding pytree for a ``TrainState`` under ZeRO-1: optimizer state
-    sharded over ``data``, params / EMA / step replicated (EMA and params
-    stay replicated so multi-host validation's ``device_get`` and the
-    sliding-window eval path keep working unchanged)."""
+    sharded over ``data``, params / step replicated. ``shard_ema`` extends
+    the sharding to the EMA copy (another 1× params of f32 per chip ÷ the
+    data-axis size): the EMA update is elementwise, so with replicated
+    params XLA just slices them shard-locally — zero collectives in the
+    step; the one cost is an all_gather when the EMA weights are *used*
+    (validation / export), which ``train()`` issues explicitly via
+    ``gather_tree``. Default off so eval paths keep working unchanged."""
     repl = NamedSharding(mesh, P())
     return state.replace(
         params=jax.tree.map(lambda _: repl, state.params),
         opt_state=zero_sharding_tree(mesh, state.opt_state),
         ema_params=(
-            jax.tree.map(lambda _: repl, state.ema_params)
+            (zero_sharding_tree(mesh, state.ema_params) if shard_ema
+             else jax.tree.map(lambda _: repl, state.ema_params))
             if state.ema_params is not None else None
         ),
         step=repl,
     )
+
+
+def gather_tree(tree, mesh: Mesh):
+    """Materialise a (possibly sharded) pytree as replicated over `mesh`.
+
+    A jitted identity with replicated out_shardings — XLA compiles it to an
+    all_gather over ICI, and it works in multi-host jobs where a host-side
+    ``device_get`` of non-addressable shards would not."""
+    repl = NamedSharding(mesh, P())
+    return jax.jit(lambda t: t, out_shardings=jax.tree.map(lambda _: repl,
+                                                           tree))(tree)

@@ -109,12 +109,13 @@ def train(
 
     repl = NamedSharding(mesh, P())
     state_shardings = None
-    if cfg.zero_opt:
-        # ZeRO-1: Adam moments sharded over the data axis (params/EMA stay
-        # replicated); XLA inserts reduce_scatter/all_gather from the specs
+    if cfg.zero_opt or cfg.zero_ema:
+        # ZeRO-1: Adam moments (and optionally the EMA copy) sharded over
+        # the data axis; XLA inserts reduce_scatter/all_gather from the specs
         from ..parallel.mesh import zero_state_shardings
 
-        state_shardings = zero_state_shardings(mesh, state)
+        state_shardings = zero_state_shardings(mesh, state,
+                                               shard_ema=cfg.zero_ema)
     if jax.process_count() == 1:
         state = jax.device_put(
             state, state_shardings if state_shardings is not None else repl
@@ -279,7 +280,15 @@ def train(
         if test_cases is not None and cfg.val_freq and (epoch + 1) % cfg.val_freq == 0:
             from .validation import run_validation
 
-            results = run_validation(model, state, cfg, test_cases,
+            val_state = state
+            if cfg.zero_ema and state.ema_params is not None:
+                # sharded EMA: gather once per validation (mesh.gather_tree)
+                from ..parallel.mesh import gather_tree
+
+                val_state = state.replace(
+                    ema_params=gather_tree(state.ema_params, mesh)
+                )
+            results = run_validation(model, val_state, cfg, test_cases,
                                      len(cfg.classes), is_2d=is_2d)
             val_metric = float(np.mean(results["dice"]))
             logger.info("epoch %d val dice %.4f", epoch, val_metric)

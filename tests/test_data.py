@@ -335,6 +335,44 @@ def test_device_augment_shapes_and_flags(tmp_path):
     assert set(np.unique(lab)) <= {0.0, 1.0}  # nearest-neighbour labels stay binary
 
 
+def test_affine_sample_window_matches_full_warp_then_crop():
+    """The pipeline's fused window sampler must be bitwise-equal to the naive
+    warp-full-volume-then-center_crop composition it replaced (it samples the
+    same output-grid coordinates, just only inside the crop window)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rsuper_tpu.data.augment import (
+        _affine_theta,
+        affine_sample,
+        affine_sample_window,
+        center_crop,
+    )
+
+    rng = np.random.default_rng(3)
+    vol = jnp.asarray(rng.normal(size=(20, 28, 28)).astype(np.float32))
+    lab = jnp.asarray(
+        (rng.random((20, 28, 28, 3)) > 0.7).astype(np.float32)
+    )
+    theta = _affine_theta(jax.random.PRNGKey(5), (0.2, 0.2, 0.2),
+                          (30.0, 30.0, 30.0), (0.1, 0.1, 0.1),
+                          (0.0, 0.0, 0.0))
+    crop = (12, 16, 16)
+    starts = tuple((s - c) // 2 for s, c in zip(vol.shape, crop))
+    ref = center_crop(affine_sample(vol, theta, order=1), crop)
+    got = affine_sample_window(vol, theta, crop, starts, order=1)
+    # same coordinates mathematically; XLA fuses the (4,N) matmul differently
+    # for the two grid sizes, so allow f32 rounding noise
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    ref0 = center_crop(affine_sample(lab, theta, order=0), crop)
+    got0 = affine_sample_window(lab, theta, crop, starts, order=0)
+    # nearest-neighbour: rounding noise can flip voxels whose source lands
+    # exactly on a .5 corner boundary — allow a <1% flip budget
+    flips = float(np.mean(np.asarray(got0) != np.asarray(ref0)))
+    assert flips < 0.01, flips
+
+
 def test_prefetch_loader(tmp_path):
     cases = [
         Case(*_make_mask_case(tmp_path, "BDMAP_A"), False),

@@ -131,6 +131,48 @@ def test_train_step_zero_opt_sharding():
     assert big and not big[0].is_fully_replicated
 
 
+def test_train_step_zero_ema_sharding():
+    """shard_ema extends ZeRO-1 to the EMA copy: leaves actually distribute,
+    the step matches the replicated run, and mesh.gather_tree materialises a
+    replicated EMA for validation (train/loop.py wires this behind
+    cfg.zero_ema)."""
+    from rsuper_tpu.parallel.mesh import gather_tree, zero_state_shardings
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    model = get_model("resunet", len(CLASSES), {"base_chan": 4},
+                      dtype=jnp.float32)
+    tx = make_optimizer(base_lr=1e-2, warmup_epochs=0, max_epochs=100,
+                        steps_per_epoch=10)
+    batch = _batch()
+    state_z = create_train_state(model, jax.random.PRNGKey(0),
+                                 batch["image"][:1], tx)
+    state_r = jax.tree.map(jnp.copy, state_z)
+    cfg = LossConfig(loss="dice", report_volume_loss_basic=0.0)
+
+    sh = zero_state_shardings(mesh, state_z, shard_ema=True)
+    especs = [s.spec for s in jax.tree.leaves(sh.ema_params)
+              if hasattr(s, "spec")]
+    assert any(spec != jax.sharding.PartitionSpec() for spec in especs)
+
+    state_z = jax.device_put(state_z, sh)
+    step_z = build_train_step(model, LMAP, cfg, mesh=mesh, state_shardings=sh)
+    step_r = build_train_step(model, LMAP, cfg, mesh=mesh)
+    sbatch = shard_batch(batch, mesh)
+    for _ in range(3):
+        state_z, _ = step_z(state_z, sbatch)
+        state_r, _ = step_r(state_r, sbatch)
+    big = [x for x in jax.tree.leaves(state_z.ema_params)
+           if hasattr(x, "sharding") and x.sharding.spec
+           != jax.sharding.PartitionSpec()]
+    assert big and not big[0].is_fully_replicated
+    ema_g = gather_tree(state_z.ema_params, mesh)
+    assert all(x.is_fully_replicated for x in jax.tree.leaves(ema_g))
+    dmax = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), ema_g, state_r.ema_params)))
+    assert dmax < 1e-3, dmax  # Adam rsqrt noise bound, as in the ZeRO test
+
+
 def test_train_step_spatial_sharding():
     """Spatial (context-parallel) sharding: a 2x2 data x model mesh splits
     each volume's depth axis over `model` (parallel/mesh.spatial_constraint;

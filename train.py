@@ -57,6 +57,9 @@ def parse_args(argv=None):
     p.add_argument("--fold", type=int, default=0, help="fold index to run")
     p.add_argument("--zero_opt", action="store_true",
                    help="ZeRO-1: shard Adam moments over the mesh data axis")
+    p.add_argument("--zero_ema", action="store_true",
+                   help="also shard the EMA parameter copy (gathered once "
+                        "per validation)")
     p.add_argument("--spatial_shard", type=int, default=None,
                    help="context parallelism: split each volume's depth over "
                         "an N-chip mesh `model` axis (parallel/mesh.py)")
@@ -123,6 +126,8 @@ def main(argv=None):
         overrides.pop("clip_pretrain", None)
     if not args.zero_opt:
         overrides.pop("zero_opt", None)
+    if not args.zero_ema:
+        overrides.pop("zero_ema", None)
     cfg = load_config(args.preset, args.config, overrides)
 
     from rsuper_tpu.data.dataset import (
