@@ -4,9 +4,11 @@ Every Pallas kernel in ``ops/`` (channel-first conv, depthwise conv, top-N
 bisection) is an XLA *custom call* — GSPMD cannot partition one. Under
 spatial (context-parallel) sharding, activations arrive depth-sharded over
 the mesh ``model`` axis and the custom call would force a full all-gather or
-fail to lower, so the trainer turns Pallas off process-wide before tracing
-(``train/step.build_train_step`` when the mesh has a >1 ``model`` axis) and
-XLA's partitionable convolutions take over, halo exchanges included.
+fail to lower, so the trainer scopes ``pallas_disabled()`` around the spatial
+step's calls (``train/step.build_train_step`` when the mesh has a >1
+``model`` axis — the first call traces under it) and XLA's partitionable
+convolutions take over, halo exchanges included; everything else traced in
+the process keeps the Pallas kernels.
 
 The flag is consulted at TRACE time: set it before the first call of any
 jitted function whose trace should honour it (jit caches do not key on it).

@@ -16,6 +16,7 @@ context parallelism; SURVEY.md §2.4).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -147,19 +148,22 @@ def zero_sharding_tree(mesh: Mesh, tree, min_size: int = 16384):
     return jax.tree.map(leaf, tree)
 
 
-def zero_state_shardings(mesh: Mesh, state, shard_ema: bool = False):
+def zero_state_shardings(mesh: Mesh, state, shard_ema: bool = False,
+                         shard_opt: bool = True):
     """Sharding pytree for a ``TrainState`` under ZeRO-1: optimizer state
-    sharded over ``data``, params / step replicated. ``shard_ema`` extends
-    the sharding to the EMA copy (another 1× params of f32 per chip ÷ the
-    data-axis size): the EMA update is elementwise, so with replicated
-    params XLA just slices them shard-locally — zero collectives in the
-    step; the one cost is an all_gather when the EMA weights are *used*
-    (validation / export), which ``train()`` issues explicitly via
-    ``gather_tree``. Default off so eval paths keep working unchanged."""
+    sharded over ``data`` (``shard_opt``), params / step replicated.
+    ``shard_ema`` extends the sharding to the EMA copy (another 1× params of
+    f32 per chip ÷ the data-axis size): the EMA update is elementwise, so
+    with replicated params XLA just slices them shard-locally — zero
+    collectives in the step; the one cost is an all_gather when the EMA
+    weights are *used* (validation / export), which ``train()`` issues
+    explicitly via ``gather_tree``. Both default conservative so eval paths
+    keep working unchanged."""
     repl = NamedSharding(mesh, P())
     return state.replace(
         params=jax.tree.map(lambda _: repl, state.params),
-        opt_state=zero_sharding_tree(mesh, state.opt_state),
+        opt_state=(zero_sharding_tree(mesh, state.opt_state) if shard_opt
+                   else jax.tree.map(lambda _: repl, state.opt_state)),
         ema_params=(
             (zero_sharding_tree(mesh, state.ema_params) if shard_ema
              else jax.tree.map(lambda _: repl, state.ema_params))
@@ -169,12 +173,20 @@ def zero_state_shardings(mesh: Mesh, state, shard_ema: bool = False):
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _gather_jit(mesh: Mesh):
+    # one jitted identity per mesh (reused across calls/epochs so the
+    # per-validation EMA gather hits the in-process jit cache instead of
+    # re-tracing — and re-compiling through the remote-TPU relay)
+    repl = NamedSharding(mesh, P())
+    # a single sharding is a valid pytree prefix: applies to every leaf
+    return jax.jit(lambda t: t, out_shardings=repl)
+
+
 def gather_tree(tree, mesh: Mesh):
     """Materialise a (possibly sharded) pytree as replicated over `mesh`.
 
     A jitted identity with replicated out_shardings — XLA compiles it to an
     all_gather over ICI, and it works in multi-host jobs where a host-side
     ``device_get`` of non-addressable shards would not."""
-    repl = NamedSharding(mesh, P())
-    return jax.jit(lambda t: t, out_shardings=jax.tree.map(lambda _: repl,
-                                                           tree))(tree)
+    return _gather_jit(mesh)(tree)

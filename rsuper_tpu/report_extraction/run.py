@@ -74,18 +74,26 @@ def pair_time_machine_reports(
     chronologically-first 'first positive' report, and compose the
     two-report payload the prompt consumes. Rows without a matched
     first-malignancy report are dropped (the reference raises; skipping
-    keeps a sharded run alive)."""
+    keeps a sharded run alive). The timeline column default is the
+    reference's pancreas-specific study column — pass ``timeline_column``
+    for other cohorts. One sort+groupby finds every patient's first
+    positive (the reference rescans the frame per row)."""
+    firsts = (
+        df[df[timeline_column] == "first positive"]
+        .sort_values(date_column)
+        .groupby(patient_column, sort=False)
+        .head(1)
+        .set_index(patient_column)
+    )
     rows = []
     for _, r in df.iterrows():
         timeline = r.get(timeline_column)
         if not isinstance(timeline, str) or "pre-diagnosis" not in timeline:
             continue
-        patient = df[df[patient_column] == r[patient_column]]
-        patient = patient.sort_values(date_column)
-        first = patient[patient[timeline_column] == "first positive"]
-        if first.empty:
+        try:
+            diag = firsts.loc[r[patient_column]]
+        except KeyError:
             continue
-        diag = first.iloc[0]
         rows.append({
             id_column: r[id_column],
             report_column: PR.build_time_machine_payload(
@@ -107,6 +115,7 @@ def run_extraction(
     batch: int = 8,
     step: str = "type_and_size",
     organ: str = "liver",
+    timeline_column: str = "pancreatic cancer timeline",
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
     raw_path = os.path.join(out_dir, f"raw_answers_part{part}.jsonl")
@@ -120,7 +129,8 @@ def run_extraction(
         df = df.rename(columns={"BDMAP ID": id_column})
     if step == "time_machine":
         # pair BEFORE part-sharding so every part sees whole patients
-        df = pair_time_machine_reports(df, id_column, report_column)
+        df = pair_time_machine_reports(df, id_column, report_column,
+                                       timeline_column=timeline_column)
     df = df.iloc[part::parts]
 
     done = set()
@@ -271,6 +281,8 @@ def main(argv=None):
     p.add_argument("--step", default="type_and_size", choices=sorted(STEPS))
     p.add_argument("--organ", default="liver",
                    help="target organ for the malignancy step")
+    p.add_argument("--timeline_column", default="pancreatic cancer timeline",
+                   help="cohort timeline column for the time_machine step")
     p.add_argument("--postprocess_only", action="store_true")
     args = p.parse_args(argv)
     if not args.postprocess_only:
@@ -278,7 +290,8 @@ def main(argv=None):
         run_extraction(args.reports, args.out_dir, client,
                        report_column=args.report_column,
                        parts=args.parts, part=args.part,
-                       step=args.step, organ=args.organ)
+                       step=args.step, organ=args.organ,
+                       timeline_column=args.timeline_column)
     postprocess_answers(args.out_dir, step=args.step, organ=args.organ)
 
 

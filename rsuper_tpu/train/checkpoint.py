@@ -101,17 +101,58 @@ class CheckpointManager:
         return os.path.exists(self._path(tag))
 
 
+def _key_str(entry) -> str:
+    # normalise DictKey / GetAttrKey / SequenceKey to a plain path segment
+    for attr in ("key", "name", "idx"):
+        if hasattr(entry, attr):
+            return str(getattr(entry, attr))
+    return str(entry)
+
+
 def load_pretrained_params(state, path: str, tag: str = "best"):
     """Non-strict transfer-learning load (reference ``model/utils.py:125-129``):
-    copies leaves whose path+shape match; everything else keeps its fresh init."""
-    ckpt = CheckpointManager(path)
+    copies leaves whose flattened path+shape match; everything else keeps its
+    fresh init. Matching is by PATH, not tree structure, so checkpoints from
+    older module layouts still donate every surviving parameter — and the log
+    reports exactly how many leaves transferred (a silent zero-match load
+    would otherwise masquerade as a successful warm start)."""
+    import logging
+
+    logger = logging.getLogger("rsuper")
+    ckpt_path = os.path.join(os.path.abspath(path), tag)
     try:
-        donor = ckpt.restore(state, tag)
-    except Exception:
-        return state  # incompatible structure → fall back entirely
+        raw = ocp.PyTreeCheckpointer().restore(ckpt_path)
+        donor_params = raw["params"]
+    except Exception as e:  # unreadable / not a checkpoint
+        logger.warning(
+            "pretrained load failed for %s (%s: %s) — keeping fresh init",
+            ckpt_path, type(e).__name__, e,
+        )
+        return state
 
-    def merge(new, old):
-        return old if (hasattr(old, "shape") and old.shape == new.shape) else new
+    donor = {
+        "/".join(_key_str(k) for k in kp): v
+        for kp, v in jax.tree_util.tree_flatten_with_path(donor_params)[0]
+    }
+    counts = {"matched": 0, "total": 0}
 
-    params = jax.tree.map(merge, state.params, donor.params)
+    def merge(kp, new):
+        counts["total"] += 1
+        old = donor.get("/".join(_key_str(k) for k in kp))
+        if (
+            old is not None
+            and hasattr(old, "shape")
+            and tuple(old.shape) == tuple(new.shape)
+        ):
+            counts["matched"] += 1
+            return jax.numpy.asarray(old, getattr(new, "dtype", None))
+        return new
+
+    params = jax.tree_util.tree_map_with_path(merge, state.params)
+    log = logger.warning if counts["matched"] == 0 else logger.info
+    log(
+        "pretrained transfer from %s: %d/%d param leaves matched by "
+        "path+shape (non-strict)",
+        ckpt_path, counts["matched"], counts["total"],
+    )
     return state.replace(params=params)

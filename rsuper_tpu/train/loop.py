@@ -43,6 +43,19 @@ def init_params_on_host(model, rng, example):
         return jax.jit(model.init)(rng, example)
 
 
+def _gathered_ema(state, cfg, mesh):
+    """With ``cfg.zero_ema`` the EMA copy lives sharded over the data axis;
+    gather it back to replicated before it leaves the train loop (validation,
+    end-of-fold eval, export) so consumers that ``device_get`` or re-shard it
+    work unchanged — including in multi-host jobs where host-side gets of
+    non-addressable shards raise."""
+    if cfg.zero_ema and state.ema_params is not None:
+        from ..parallel.mesh import gather_tree
+
+        return state.replace(ema_params=gather_tree(state.ema_params, mesh))
+    return state
+
+
 def train(
     cfg: TrainConfig,
     model,
@@ -115,7 +128,8 @@ def train(
         from ..parallel.mesh import zero_state_shardings
 
         state_shardings = zero_state_shardings(mesh, state,
-                                               shard_ema=cfg.zero_ema)
+                                               shard_ema=cfg.zero_ema,
+                                               shard_opt=cfg.zero_opt)
     if jax.process_count() == 1:
         state = jax.device_put(
             state, state_shardings if state_shardings is not None else repl
@@ -269,7 +283,7 @@ def train(
             if max_steps is not None and total_steps >= max_steps:
                 ckpt.save_epoch(state, epoch)
                 ckpt.wait()  # async commits must be durable before we return
-                return state
+                return _gathered_ema(state, cfg, mesh)
 
         if loss_meter.count == 0 and total_steps > 0:
             # no fetch landed inside this epoch (short epochs + sparse NaN
@@ -280,14 +294,8 @@ def train(
         if test_cases is not None and cfg.val_freq and (epoch + 1) % cfg.val_freq == 0:
             from .validation import run_validation
 
-            val_state = state
-            if cfg.zero_ema and state.ema_params is not None:
-                # sharded EMA: gather once per validation (mesh.gather_tree)
-                from ..parallel.mesh import gather_tree
-
-                val_state = state.replace(
-                    ema_params=gather_tree(state.ema_params, mesh)
-                )
+            # sharded EMA: gather once per validation (mesh.gather_tree)
+            val_state = _gathered_ema(state, cfg, mesh)
             results = run_validation(model, val_state, cfg, test_cases,
                                      len(cfg.classes), is_2d=is_2d)
             val_metric = float(np.mean(results["dice"]))
@@ -300,4 +308,4 @@ def train(
     if tracer is not None:
         tracer.close()
     ckpt.wait()  # async commits must be durable before we return
-    return state
+    return _gathered_ema(state, cfg, mesh)

@@ -91,15 +91,14 @@ def build_train_step(
     sharding: volumetric batch arrays are constrained to shard their depth
     axis over ``model`` (``parallel.mesh.spatial_constraint``) and GSPMD
     partitions the model's convs/norms/attention with halo exchanges and
-    psums over ICI. Pallas kernels are disabled process-wide at build time
-    (custom calls cannot be partitioned; ``ops/dispatch.py``).
+    psums over ICI. Pallas kernels are disabled only for this step's trace
+    (custom calls cannot be partitioned; ``ops/dispatch.py``) — other
+    functions traced in the same process (validation's un-sharded sliding
+    window, non-spatial steps) keep them.
     """
     spatial = mesh is not None and mesh.shape.get("model", 1) > 1
     if spatial:
-        from ..ops import dispatch
         from ..parallel.mesh import spatial_constraint
-
-        dispatch.set_pallas_enabled(False)
 
     def train_step(state: TrainState, batch):
         if spatial:
@@ -118,12 +117,24 @@ def build_train_step(
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     state_sh = state_shardings if state_shardings is not None else repl
-    return jax.jit(
+    jitted = jax.jit(
         train_step,
         in_shardings=(state_sh, data),
         out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
+    if not spatial:
+        return jitted
+
+    def spatial_step(state, batch):
+        # the dispatch flag is consulted at TRACE time; scoping it to the
+        # call covers the first-call trace and is a no-op on cache hits
+        from ..ops.dispatch import pallas_disabled
+
+        with pallas_disabled():
+            return jitted(state, batch)
+
+    return spatial_step
 
 
 def build_eval_step(model, mesh: Optional[Mesh] = None, use_ema: bool = False):

@@ -78,3 +78,50 @@ def test_update_output_layers_keeps_matching_classes():
     bn = np.asarray(merged["params"]["DownBlock_0"]["BasicBlock_0"]
                     ["ConvNormAct_0"]["Conv_0"]["kernel"])
     np.testing.assert_allclose(bn, bo)
+
+
+def test_load_pretrained_params_matches_by_path(tmp_path):
+    """Non-strict transfer (checkpoint.load_pretrained_params): leaves match
+    by flattened path+shape across DIFFERENT param-tree structures, so a
+    module rename (e.g. the DepthwiseConv3 refactor renumbering flax
+    siblings) degrades to a partial transfer instead of a silent full
+    fallback to fresh init (reference model/utils.py:125-129 non-strict)."""
+    import optax
+
+    from rsuper_tpu.train.checkpoint import (
+        CheckpointManager,
+        load_pretrained_params,
+    )
+    from rsuper_tpu.train.state import TrainState
+
+    rng = np.random.default_rng(0)
+    donor_params = {"params": {
+        "Conv_0": {"kernel": jnp.asarray(rng.normal(size=(3, 3)), jnp.float32)},
+        "Old_0": {"kernel": jnp.asarray(rng.normal(size=(4, 4)), jnp.float32)},
+        "Head": {"bias": jnp.asarray(rng.normal(size=(7,)), jnp.float32)},
+    }}
+    tx = optax.sgd(0.1)
+    donor = TrainState(params=donor_params, opt_state=tx.init(donor_params),
+                       ema_params=None, step=jnp.zeros((), jnp.int32), tx=tx)
+    mgr = CheckpointManager(str(tmp_path / "ck"), synchronous=True)
+    mgr._save("best", donor)
+    mgr.wait()
+
+    fresh = {"params": {
+        "Conv_0": {"kernel": jnp.zeros((3, 3), jnp.float32)},   # path+shape match
+        "New_0": {"kernel": jnp.zeros((4, 4), jnp.float32)},    # renamed: no match
+        "Head": {"bias": jnp.zeros((5,), jnp.float32)},         # shape mismatch
+    }}
+    state = TrainState(params=fresh, opt_state=tx.init(fresh),
+                       ema_params=None, step=jnp.zeros((), jnp.int32), tx=tx)
+    out = load_pretrained_params(state, str(tmp_path / "ck"), tag="best")
+
+    np.testing.assert_allclose(out.params["params"]["Conv_0"]["kernel"],
+                               donor_params["params"]["Conv_0"]["kernel"])
+    assert float(jnp.abs(out.params["params"]["New_0"]["kernel"]).max()) == 0.0
+    assert out.params["params"]["Head"]["bias"].shape == (5,)
+    assert float(jnp.abs(out.params["params"]["Head"]["bias"]).max()) == 0.0
+
+    # unreadable path: warn + keep fresh init, never raise
+    out2 = load_pretrained_params(state, str(tmp_path / "nope"), tag="best")
+    assert out2 is state

@@ -1,0 +1,27 @@
+#!/bin/bash
+# Queued TPU measurement batch — run when the axon backend is reachable.
+# Each stage appends to artifacts/ and prints a one-line summary; stages are
+# ordered so the real-lowering smoke gate runs first (CLAUDE.md workflow) and
+# everything reuses the persistent compile cache.
+set -u
+cd /root/repo
+ENVV="env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache"
+mkdir -p artifacts
+
+run() { # name, timeout_s, cmd...
+  local name=$1 to=$2; shift 2
+  echo "=== $name ($(date +%H:%M:%S)) ==="
+  timeout "$to" "$@" >"artifacts/exp_${name}.log" 2>&1
+  local rc=$?
+  tail -3 "artifacts/exp_${name}.log"
+  echo "--- $name rc=$rc"
+  return $rc
+}
+
+run probe 240 env PYTHONPATH=/root/repo:/root/.axon_site python tools/tpu_probe.py || { echo "TPU DOWN — aborting"; exit 1; }
+run smoke 2400 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache python bench.py --smoke || { echo "SMOKE FAILED"; exit 2; }
+run bench96 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache python bench.py
+run augment 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache python tools/bench_augment.py
+run profile96 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache PROFILE_DIR=/root/repo/artifacts/profile_r3d python tools/profile_step.py
+run bench128 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache RSUPER_BENCH_SIZE=128 python bench.py
+echo "ALL DONE $(date +%H:%M:%S)"
