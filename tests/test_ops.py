@@ -301,6 +301,28 @@ def test_dilate_cf_ball5_exact():
     np.testing.assert_array_equal(got, want)
 
 
+def test_dilate_cf_ball7_exact():
+    """auto k=7 routes to the (ball5 ⊕ cross) ∪ corners decomposition —
+    must equal scipy's exact radius-3.5 Euclidean ball voxel-for-voxel."""
+    from rsuper_tpu.ops.morphology import dilate_cf
+
+    rng = np.random.default_rng(29)
+    x = (rng.random((2, 18, 20, 22)) > 0.97).astype(np.float32)
+    got = np.asarray(dilate_cf(jnp.asarray(x), 7))  # auto -> ball7 fast path
+    want = np.stack([
+        ndi.binary_dilation(x[i] > 0, structure=_scipy_ball(7)).astype(np.float32)
+        for i in range(2)
+    ])
+    np.testing.assert_array_equal(got, want)
+    # sparse single-voxel probe: corner (2,2,2) is IN the ball (12 <= 12.25),
+    # (3,2,0) (13) and (3,3,*) are OUT
+    y = np.zeros((1, 16, 16, 16), np.float32)
+    y[0, 8, 8, 8] = 1.0
+    out = np.asarray(dilate_cf(jnp.asarray(y), 7))
+    assert out[0, 10, 10, 10] == 1 and out[0, 11, 8, 8] == 1
+    assert out[0, 11, 10, 8] == 0 and out[0, 11, 11, 8] == 0
+
+
 # ------------------------------------------------------------ channel-first conv
 class TestConvCF:
     """Pallas channel-first 3x3x3 conv vs flax nn.Conv golden values.
@@ -571,3 +593,22 @@ def test_depthwise_conv_pallas_matches_xla():
     assert not dwconv.dw_supported((1, 4, 8, 8, 96), jnp.float32)
     assert not dwconv.dw_supported((1, 4, 512, 512, 256), jnp.bfloat16)
     assert dwconv.dw_supported((2, 64, 64, 64, 256), jnp.bfloat16)
+
+
+def test_pallas_disabled_scope_restores_flag():
+    """The spatial train step scopes ``pallas_disabled()`` around its trace
+    (train/step.py); the flag must restore on exit — including on error — so
+    other graphs traced in the same process keep the Pallas kernels."""
+    from rsuper_tpu.ops import dispatch
+
+    assert dispatch._PALLAS_ENABLED
+    with dispatch.pallas_disabled():
+        assert not dispatch._PALLAS_ENABLED
+        with dispatch.pallas_disabled():  # reentrant
+            assert not dispatch._PALLAS_ENABLED
+        assert not dispatch._PALLAS_ENABLED
+    assert dispatch._PALLAS_ENABLED
+    with pytest.raises(RuntimeError):
+        with dispatch.pallas_disabled():
+            raise RuntimeError("boom")
+    assert dispatch._PALLAS_ENABLED
