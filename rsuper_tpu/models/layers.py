@@ -549,9 +549,42 @@ class ConvNormActCF(nn.Module):
         return act_fn(norm_fn(conv(x)))
 
 
+class _Conv0Kernel(nn.Module):
+    """Parameter-only module: declares ``Conv_0/kernel`` at the exact path
+    (shape, init and RNG stream) flax would give ``CFConv3(name="Conv_0")``,
+    without executing a conv — used to pair two convs into one kernel call
+    while keeping the checkpoint tree identical."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, c_in: int):
+        class _P(nn.Module):
+            features: int
+
+            @nn.compact
+            def __call__(self, c_in: int):
+                return self.param(
+                    "kernel",
+                    nn.initializers.lecun_normal(),
+                    (3, 3, 3, c_in, self.features),
+                    jnp.float32,
+                )
+
+        return _P(self.features, name="Conv_0")(c_in)
+
+
 class BasicBlockCF(nn.Module):
     """Channel-first mirror of `BasicBlock` — identical parameter tree
-    (ConvNormAct_0/1 + optional ConvNormAct_2 shortcut)."""
+    (ConvNormAct_0/1 + optional ConvNormAct_2 shortcut).
+
+    When the block changes channel count, ConvNormAct_0 and the ConvNormAct_2
+    shortcut consume the SAME pre-activated input ``relu(IN(x))`` — they run
+    as ONE fused-epilogue kernel call with the two weight tensors stacked
+    along the output-channel axis. That doubles the MXU M-occupancy of the
+    dominant full-res dots (C_out 32 uses 32 of 128 sublanes), reads ``x``
+    from HBM once instead of twice, computes the IN epilogue once, and the
+    custom VJP batches both dgrads/wgrads into single dots."""
 
     features: int
     norm: str = "in"
@@ -560,11 +593,23 @@ class BasicBlockCF(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        out = ConvNormActCF(self.features, norm=self.norm, act=self.act,
-                            dtype=self.dtype, name="ConvNormAct_0")(x)
+        pair = (x.shape[2] != self.features
+                and self.norm == "in" and self.act == "relu")
+        if pair:
+            from ..ops.conv_cf import in_relu_conv3x3x3_cf
+
+            k0 = _Conv0Kernel(self.features, name="ConvNormAct_0")(x.shape[2])
+            k2 = _Conv0Kernel(self.features, name="ConvNormAct_2")(x.shape[2])
+            both = in_relu_conv3x3x3_cf(
+                x.astype(self.dtype), jnp.concatenate([k0, k2], axis=-1)
+            )
+            out, x = both[:, :, : self.features], both[:, :, self.features:]
+        else:
+            out = ConvNormActCF(self.features, norm=self.norm, act=self.act,
+                                dtype=self.dtype, name="ConvNormAct_0")(x)
         out = ConvNormActCF(self.features, norm=self.norm, act=self.act,
                             dtype=self.dtype, name="ConvNormAct_1")(out)
-        if x.shape[2] != self.features:
+        if not pair and x.shape[2] != self.features:
             x = ConvNormActCF(self.features, norm=self.norm, act=self.act,
                               dtype=self.dtype, name="ConvNormAct_2")(x)
         return out + x

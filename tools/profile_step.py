@@ -115,6 +115,39 @@ def summarize(trace_dir):
     for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:60]:
         print(f"{ms:9.2f} {counts[name]:5d}  {name[:120]}")
 
+    # module-level attribution from the per-op tf_op metadata: group by the
+    # model submodule (e.g. UpBlockMF_3/BasicBlock_0 fwd vs bwd) / loss source
+    # line so the hot SUBSYSTEM is visible without hand-parsing the trace.
+    # Nested control flow (cond/while bodies) double-counts against its outer
+    # conditional op — read groups as attribution, not a disjoint partition.
+    mod_tot = defaultdict(float)
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if dev_pids and e.get("pid") not in dev_pids:
+            continue
+        src = (e.get("args") or {}).get("tf_op") or ""
+        if not src:
+            continue
+        dur = e.get("dur", 0) / 1e3
+        if src.startswith("/"):  # loss source line, e.g. .../losses/ball.py:409
+            key = "loss " + "/".join(src.rsplit("/", 2)[-2:])
+        else:
+            parts = src.split("/")
+            bwd = any(p.startswith("transpose(jvp") for p in parts)
+            mods = [p for p in parts if any(
+                p.startswith(s) for s in (
+                    "DownBlockMF", "UpBlockMF", "BasicBlock", "PatchMerging",
+                    "SemanticMapFusion", "Conv_0", "outc", "cls_", "clip_",
+                ))]
+            key = ("model " + "/".join(mods[:2]) if mods else
+                   "other " + parts[-1].split(":")[0])
+            key += " [bwd]" if bwd else " [fwd]"
+        mod_tot[key] += dur
+    print("\n== by module (tf_op metadata; nested regions double-count) ==")
+    for k, ms in sorted(mod_tot.items(), key=lambda kv: -kv[1])[:40]:
+        print(f"{ms:9.2f}  {k[:110]}")
+
 
 def main():
     try:
