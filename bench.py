@@ -146,6 +146,12 @@ def smoke():
     fused_case("fused_in_relu_plane_bf16", 8, 8, (8, 32, 32), jnp.bfloat16)
     fused_case("fused_in_relu_ht_bf16", 8, 8, (4, 128, 128), jnp.bfloat16)
     fused_case("fused_in_relu_chunked_bf16", 64, 32, (4, 96, 96), jnp.bfloat16)
+    # paired conv+shortcut (BasicBlockCF stacks both weights along C_out):
+    # the UpBlockMF_3 (96->64 @ 96²), UpBlockMF_2 (192->128 @ 48²) and the
+    # 128³ H-tiled variant of the first
+    fused_case("fused_pair_96_bf16", 96, 64, (4, 96, 96), jnp.bfloat16)
+    fused_case("fused_pair_48_bf16", 192, 128, (4, 48, 48), jnp.bfloat16)
+    fused_case("fused_pair_ht_bf16", 96, 64, (4, 128, 128), jnp.bfloat16)
 
     from rsuper_tpu.ops import dwconv
 

@@ -24,4 +24,5 @@ run bench96 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACH
 run augment 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache python tools/bench_augment.py
 run profile96 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache PROFILE_DIR=/root/repo/artifacts/profile_r3d python tools/profile_step.py
 run bench128 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache RSUPER_BENCH_SIZE=128 python bench.py
+run infer 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache python bench_infer.py
 echo "ALL DONE $(date +%H:%M:%S)"
