@@ -210,12 +210,26 @@ class PatchMerging(nn.Module):
     kernel_size: Any = 3
     dtype: Dtype = jnp.float32
 
+    # input arrives depth-major channel-first (B, D, C, H, W) — static
+    # attribute (not a call arg) so nn.remat never sees a python bool operand
+    cf_input: bool = False
+
     @nn.compact
     def __call__(self, x):
-        b, d, h, w, c = x.shape
         sd, sh, sw = self.down_scale
-        x = x.reshape(b, d // sd, sd, h // sh, sh, w // sw, sw, c)
-        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        if self.cf_input:
+            # (B, D, C, H, W) from the CF stages: fold space-to-depth and the
+            # CF→channels-last move into ONE transpose (the separate moveaxis
+            # was a full-tensor relayout copy — ~1 ms/step at 96³ f32 in the
+            # round-3 trace). The merged channel order (sd, sh, sw, c) is
+            # identical to the channels-last path, so parameters transfer.
+            b, d, c, h, w = x.shape
+            x = x.reshape(b, d // sd, sd, c, h // sh, sh, w // sw, sw)
+            x = x.transpose(0, 1, 4, 6, 2, 5, 7, 3)
+        else:
+            b, d, h, w, c = x.shape
+            x = x.reshape(b, d // sd, sd, h // sh, sh, w // sw, sw, c)
+            x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
         x = x.reshape(b, d // sd, h // sh, w // sw, sd * sh * sw * c)
         x = instance_norm(x)
         if self.proj_type == "depthwise":
@@ -247,12 +261,14 @@ class DownBlockMF(nn.Module):
     # stage pays a 2x lane-padding tax channels-last); transposed back before
     # the attention layers. Parameter tree unchanged.
     cf_convs: bool = False
+    cf_input: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = PatchMerging(self.out_dim, self.down_scale, self.proj_type,
-                         self.kernel_size, dtype=self.dtype)(x)
+                         self.kernel_size, dtype=self.dtype,
+                         cf_input=self.cf_input)(x)
         use_cf = (
             self.cf_convs
             and self.conv_num > 0
@@ -490,7 +506,10 @@ class MedFormer(nn.Module):
             x0_cf = CFConv3(self.base_chan, dtype=self.dtype, name="Conv_0")(x_cf)
             x0_cf = BasicBlockCF(self.base_chan, norm=self.norm, act=self.act,
                                  dtype=self.dtype, name="BasicBlock_0")(x0_cf)
-            x0 = jnp.moveaxis(x0_cf, 2, -1)
+            # DownBlockMF_0 consumes the CF tensor directly (its PatchMerging
+            # folds space-to-depth + the layout move into one transpose); the
+            # channels-last x0 view is never materialised on this path
+            x0 = None
         else:
             x0 = nn.Conv(self.base_chan, (3, 3, 3), padding="SAME", use_bias=False,
                          dtype=self.dtype, param_dtype=jnp.float32)(x)
@@ -499,7 +518,7 @@ class MedFormer(nn.Module):
                                          dtype=self.dtype)(x0)
             x0_cf = None
 
-        def down(i, inp, map_generate):
+        def down(i, inp, map_generate, cf_input=False):
             return Down(
                 ch[i], cn[i], tn[i], heads=nh[i], dim_head=dim_head[i],
                 expansion=self.expansion, down_scale=scale[i],
@@ -508,10 +527,11 @@ class MedFormer(nn.Module):
                 conv_block=self.conv_block, norm=self.norm, act=self.act,
                 map_generate=map_generate,
                 cf_convs=self.cf_halfres and i == 0,
+                cf_input=cf_input,
                 dtype=self.dtype,
             )(inp)
 
-        x1, _ = down(0, x0, False)
+        x1, _ = down(0, x0_cf if use_cf else x0, False, cf_input=use_cf)
         x2, map2 = down(1, x1, True)
         x3, map3 = down(2, x2, True)
         x4, map4 = down(3, x3, True)
