@@ -200,6 +200,19 @@ class BasicLayer(nn.Module):
         return x, sem
 
 
+def cf_convs_ok(conv_num, conv_block, norm, kernel_size, h, w, itemsize):
+    """True when a DownBlockMF's conv blocks can run channel-first: shared
+    between DownBlockMF's internal gate and MedFormer's cf_output decision so
+    the two can never disagree about the layout of the returned tensor."""
+    return (
+        conv_num > 0
+        and conv_block == "BasicBlock"
+        and norm == "in"
+        and kernel_size == 3
+        and cf_plane_supported(h, w, itemsize)
+    )
+
+
 class PatchMerging(nn.Module):
     """Space-to-depth downsample + norm + depthwise-separable reduction
     (reference ``medformer_utils.py:142-178``)."""
@@ -262,6 +275,11 @@ class DownBlockMF(nn.Module):
     # the attention layers. Parameter tree unchanged.
     cf_convs: bool = False
     cf_input: bool = False
+    # return the (B, D, C, H, W) conv output directly instead of transposing
+    # back to channels-last — only legal when the CF conv path is active and
+    # nothing downstream in this block needs channels-last (no semantic map,
+    # no attention). The caller must compute the same gate via cf_convs_ok.
+    cf_output: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -269,20 +287,23 @@ class DownBlockMF(nn.Module):
         x = PatchMerging(self.out_dim, self.down_scale, self.proj_type,
                          self.kernel_size, dtype=self.dtype,
                          cf_input=self.cf_input)(x)
-        use_cf = (
-            self.cf_convs
-            and self.conv_num > 0
-            and self.conv_block == "BasicBlock"
-            and self.norm == "in"
-            and self.kernel_size == 3
-            and cf_plane_supported(x.shape[2], x.shape[3],
-                                   jnp.dtype(self.dtype).itemsize)
+        use_cf = self.cf_convs and cf_convs_ok(
+            self.conv_num, self.conv_block, self.norm, self.kernel_size,
+            x.shape[2], x.shape[3], jnp.dtype(self.dtype).itemsize,
         )
+        if self.cf_output and not (use_cf and not self.map_generate
+                                   and self.trans_num == 0):
+            raise ValueError(
+                "cf_output requires the CF conv path with no semantic map or "
+                "attention in the block — the caller's gate is out of sync"
+            )
         if use_cf:
             xc = jnp.moveaxis(x, -1, 2)  # (B, D, C, H, W) — conv_cf layout
             for i in range(self.conv_num):
                 xc = BasicBlockCF(self.out_dim, norm=self.norm, act=self.act,
                                   dtype=self.dtype, name=f"BasicBlock_{i}")(xc)
+            if self.cf_output:
+                return xc, None
             x = jnp.moveaxis(xc, 2, -1)
         else:
             Block = BLOCKS[self.conv_block]
@@ -518,7 +539,7 @@ class MedFormer(nn.Module):
                                          dtype=self.dtype)(x0)
             x0_cf = None
 
-        def down(i, inp, map_generate, cf_input=False):
+        def down(i, inp, map_generate, cf_input=False, cf_output=False):
             return Down(
                 ch[i], cn[i], tn[i], heads=nh[i], dim_head=dim_head[i],
                 expansion=self.expansion, down_scale=scale[i],
@@ -528,11 +549,30 @@ class MedFormer(nn.Module):
                 map_generate=map_generate,
                 cf_convs=self.cf_halfres and i == 0,
                 cf_input=cf_input,
+                cf_output=cf_output,
                 dtype=self.dtype,
             )(inp)
 
-        x1, _ = down(0, x0_cf if use_cf else x0, False, cf_input=use_cf)
-        x2, map2 = down(1, x1, True)
+        # stage 0 stays channel-first end-to-end when its conv path supports
+        # it: DownBlockMF_0 returns (B, D, C, H, W) and both consumers (the
+        # stage-1 patch merge and the UpBlockMF_2 skip) take CF natively —
+        # two more full-tensor relayout copies gone
+        cf1 = (
+            use_cf
+            and self.cf_halfres
+            and tn[0] == 0
+            and cf_convs_ok(cn[0], self.conv_block, self.norm,
+                            self.kernel_size[1],
+                            x.shape[2] // scale[0][1],
+                            x.shape[3] // scale[0][2],
+                            jnp.dtype(self.dtype).itemsize)
+        )
+        x1, _ = down(0, x0_cf if use_cf else x0, False, cf_input=use_cf,
+                     cf_output=cf1)
+        x1_cf = x1 if cf1 else None
+        if cf1 and (tn[6] != 0 or not self.cf_halfres):
+            x1 = jnp.moveaxis(x1_cf, 2, -1)  # the up(6) path needs CL
+        x2, map2 = down(1, x1_cf if cf1 else x1, True, cf_input=cf1)
         x3, map3 = down(2, x2, True)
         x4, map4 = down(3, x3, True)
 
@@ -591,7 +631,8 @@ class MedFormer(nn.Module):
                 out_cf, sem = UpCF(
                     ch[6], cn[6], norm=self.norm, act=self.act,
                     dtype=self.dtype, name="UpBlockMF_2",
-                )(jnp.moveaxis(out, -1, 2), jnp.moveaxis(x1, -1, 2), sem, None)
+                )(jnp.moveaxis(out, -1, 2),
+                  x1_cf if cf1 else jnp.moveaxis(x1, -1, 2), sem, None)
             else:
                 out, sem = up(6, out, x1, sem, None, False)
                 out_cf = jnp.moveaxis(out, -1, 2)
