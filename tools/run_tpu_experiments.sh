@@ -19,7 +19,7 @@ run() { # name, timeout_s, cmd...
 }
 
 run probe 240 env PYTHONPATH=/root/repo:/root/.axon_site python tools/tpu_probe.py || { echo "TPU DOWN — aborting"; exit 1; }
-run smoke 2400 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache python bench.py --smoke || { echo "SMOKE FAILED"; exit 2; }
+run smoke 4500 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache python bench.py --smoke || { echo "SMOKE FAILED"; exit 2; }
 run bench96 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache python bench.py
 run augment 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache python tools/bench_augment.py
 run profile96 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache PROFILE_DIR=/root/repo/artifacts/profile_r3d python tools/profile_step.py
