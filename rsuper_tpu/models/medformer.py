@@ -39,6 +39,7 @@ from .layers import (
     FusedMBConv,
     TransformerBlock,
     instance_norm,
+    instance_norm_axes,
     resize_trilinear,
     resize_trilinear_cf,
 )
@@ -238,13 +239,18 @@ class PatchMerging(nn.Module):
             # identical to the channels-last path, so parameters transfer.
             b, d, c, h, w = x.shape
             x = x.reshape(b, d // sd, sd, c, h // sh, sh, w // sw, sw)
+            # normalise BEFORE transposing: stats per merged channel are the
+            # (D', H', W') reductions of the split view, and the elementwise
+            # apply commutes with the transpose — so the big space-to-depth
+            # copy runs in the compute dtype, not f32 (instance_norm_axes)
+            x = instance_norm_axes(x, (1, 4, 6))
             x = x.transpose(0, 1, 4, 6, 2, 5, 7, 3)
         else:
             b, d, h, w, c = x.shape
             x = x.reshape(b, d // sd, sd, h // sh, sh, w // sw, sw, c)
+            x = instance_norm_axes(x, (1, 3, 5))
             x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
         x = x.reshape(b, d // sd, h // sh, w // sw, sd * sh * sw * c)
-        x = instance_norm(x)
         if self.proj_type == "depthwise":
             return DepthwiseSeparableConv(self.out_dim, self.kernel_size,
                                           dtype=self.dtype)(x)

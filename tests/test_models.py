@@ -216,3 +216,38 @@ def test_instance_norm_custom_vjp_matches_autodiff():
     g2 = jax.grad(lambda a: jnp.sum(reference_norm(a) * cot))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_instance_norm_axes_matches_merged_instance_norm():
+    """PatchMerging normalises the pre-transpose space-to-depth view
+    (instance_norm_axes over (D',H',W') of the split view); that must equal
+    instance_norm applied to the merged channels-last tensor — same stats per
+    merged (sd,sh,sw,c) channel, elementwise apply commutes with transpose."""
+    from rsuper_tpu.models.layers import instance_norm, instance_norm_axes
+
+    rng = np.random.default_rng(7)
+    b, d, h, w, c = 2, 8, 8, 8, 3
+    x = jnp.asarray(rng.normal(size=(b, d, h, w, c)), jnp.float32)
+
+    split = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    got = instance_norm_axes(split, (1, 3, 5))
+    got = got.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(b, d // 2, h // 2,
+                                                        w // 2, 8 * c)
+
+    merged = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    merged = merged.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        b, d // 2, h // 2, w // 2, 8 * c)
+    want = instance_norm(merged)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients through the custom VJP agree with the merged formulation
+    g1 = jax.grad(lambda t: jnp.sum(
+        instance_norm_axes(t.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c),
+                           (1, 3, 5)) ** 3))(x)
+    g2 = jax.grad(lambda t: jnp.sum(instance_norm(
+        t.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+        .transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        .reshape(b, d // 2, h // 2, w // 2, 8 * c)) ** 3))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
