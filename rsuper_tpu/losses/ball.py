@@ -50,7 +50,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.balls import ball_kernel_wrapped, fft_ball_conv, insert_ball
+from ..ops.balls import (ball_count_clipped, ball_count_wrapped,
+                         fft_ball_conv, insert_ball)
 from ..ops.gwrp import gwrp_weights_binned
 from ..ops.morphology import dilate_cf
 from ..ops.selection import topn_masks_multi_batched
@@ -102,8 +103,9 @@ class BallLossConfig(NamedTuple):
 
 def _ball_voxel_count(shape, diameter):
     """Number of voxels in the discrete ball of (traced) `diameter` — the
-    reference's ``(kernel > 0).sum()`` (``losses_foundation.py:1431``)."""
-    return jnp.sum(ball_kernel_wrapped(shape, diameter))
+    reference's ``(kernel > 0).sum()`` (``losses_foundation.py:1431``).
+    Closed-form O(D·H) count (`ops.balls.ball_count_wrapped`), no grid."""
+    return ball_count_wrapped(shape, diameter)
 
 
 def isolate_tumor_batched(x, diameter, volume, cfg: BallLossConfig):
@@ -153,22 +155,31 @@ def isolate_tumor_batched(x, diameter, volume, cfg: BallLossConfig):
         )(cz, cy, cx, d)
 
     # -- 2. insertion ball, grown while clipped by the border -----------------
-    def _needs_growth(d):
-        ball = balls_of(d)
-        too_small = jnp.sum(ball, axis=(1, 2, 3)) < volume
-        not_huge = d < jnp.float32(max(shape))
-        return too_small & not_huge
+    # The reference grows d by 10% per iteration until the (border-clipped)
+    # insertion ball holds the reported volume (losses_foundation.py:1450-1461).
+    # The growth ladder d_{k+1} = max(round(1.1·d_k), d_k+1) is a fixed
+    # per-item sequence, so instead of a sequential while_loop that
+    # materialises B full (D,H,W) balls per trip-count check, evaluate ALL
+    # grow_iters+1 candidates at once with the closed-form clipped-voxel count
+    # (O(D·H) each) and pick the first satisfying rung — identical result
+    # (per-item growth is independent: the loop froze converged items).
+    cands = [diameter]
+    for _ in range(cfg.grow_iters):
+        d_prev = cands[-1]
+        cands.append(jnp.maximum(jnp.round(d_prev * 1.1), d_prev + 1.0))
+    cands = jnp.stack(cands, axis=-1)  # (B, grow_iters+1)
 
-    def grow_cond(state):
-        d, it = state
-        return jnp.any(_needs_growth(d)) & (it < cfg.grow_iters)
-
-    def grow_body(state):
-        d, it = state
-        d_new = jnp.maximum(jnp.round(d * 1.1), d + 1.0)
-        return jnp.where(_needs_growth(d), d_new, d), it + 1
-
-    d_ins, _ = lax.while_loop(grow_cond, grow_body, (diameter, jnp.int32(0)))
+    counts = jax.vmap(  # clipped-ball voxel count per item per rung
+        jax.vmap(
+            lambda c0, c1, c2, dd: ball_count_clipped(
+                shape, (c0, c1, c2), dd * (1.0 + cfg.diameter_margin)),
+            in_axes=(None, None, None, 0)),
+    )(cz, cy, cx, cands)  # (B, grow_iters+1)
+    satisfied = (counts >= volume[:, None]) | (
+        cands >= jnp.float32(max(shape)))
+    first = jnp.argmax(satisfied, axis=-1)  # first satisfying rung (0 if none)
+    idx = jnp.where(jnp.any(satisfied, axis=-1), first, cfg.grow_iters)
+    d_ins = jnp.take_along_axis(cands, idx[:, None], axis=-1)[:, 0]
     ball = balls_of(d_ins)
 
     # -- 3. top-N selection inside the ball -----------------------------------
@@ -249,30 +260,29 @@ def _tumor_branch_batched(x_logits, tumor_seg, penalize, volumes, diameters,
     # tumors: the scan executes max-tumor-count steps, not T
     any_valid = jnp.any(valid, axis=0)  # (T,)
 
+    # the scan carries the RUNNING UNIONS of the pseudo/big masks instead of
+    # emitting per-slot (T, B, D, H, W) stacks and reducing afterwards — only
+    # the unions are ever consumed, and keeping them in the carry removes
+    # ~4 volumes of HBM writes + re-reads per slot
     def scan_body(carry, slot):
-        x_iter = carry
         vol, dia, ok, live = slot  # (B,), (B,), (B,), scalar
 
-        def do(x_iter):
+        def do(carry):
+            x_iter, u_sel, u_big = carry
             m, ms, mb = isolate_tumor_batched(x_iter, dia, vol, cfg)
             okf = ok[:, None, None, None].astype(jnp.float32)
-            m, ms, mb = m * okf, ms * okf, mb * okf
-            return x_iter * (1.0 - m), (m, ms, mb)
+            sel = (ms if cfg.use_small_pseudo_mask else m) * okf
+            return (x_iter * (1.0 - m * okf),
+                    jnp.maximum(u_sel, sel),
+                    jnp.maximum(u_big, mb * okf)), None
 
-        def skip(x_iter):
-            z = jnp.zeros_like(x_iter)
-            return x_iter, (z, z, z)
+        return lax.cond(live, do, lambda c: (c, None), carry)
 
-        return lax.cond(live, do, skip, x_iter)
-
-    _, (m_all, m_small_all, m_big_all) = lax.scan(
-        scan_body, x_act,
+    zero_u = jnp.zeros_like(x_act)
+    (_, pseudo, big), _ = lax.scan(
+        scan_body, (x_act, zero_u, zero_u),
         (vols.T, max_dias.T, valid.T, any_valid),
-    )  # each (T, B, D, H, W)
-
-    union = lambda m: (jnp.sum(m, axis=0) > 0).astype(jnp.float32)  # (B,...)
-    pseudo = union(m_small_all if cfg.use_small_pseudo_mask else m_all)
-    big = union(m_big_all)
+    )  # pseudo/big: (B, D, H, W) binary unions
     if cfg.dilation_for_background > 0:
         big = dilate_cf(big, cfg.dilation_for_background)
     border = jnp.clip(big - pseudo, 0.0, 1.0)

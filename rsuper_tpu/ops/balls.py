@@ -182,6 +182,63 @@ def fft_ball_conv(
     return y[: spatial[0], : spatial[1], : spatial[2]].astype(x.dtype)
 
 
+def _floor_sqrt(t):
+    """Exact ``floor(sqrt(t))`` for non-negative t (f32), robust to sqrt
+    rounding at perfect squares: two integer-compare corrections pin the
+    result (all values involved are exactly representable below 2**24)."""
+    f = jnp.floor(jnp.sqrt(jnp.maximum(t, 0.0)))
+    f = jnp.where((f + 1.0) * (f + 1.0) <= t, f + 1.0, f)
+    return jnp.where(f * f > t, f - 1.0, f)
+
+
+def ball_count_wrapped(shape, diameter):
+    """Voxel count of ``ball_kernel_wrapped(shape, diameter)`` (binary fill)
+    WITHOUT materialising the (D, H, W) grid.
+
+    For each (dz, dy) plane-offset pair the admissible integer x-offsets are
+    ``|dx| <= sqrt(r² - dz² - dy²)`` intersected with the wrapped offset range
+    ``[-(W - W//2 - 1), W//2]`` — a closed-form interval length. O(D·H)
+    work instead of O(D·H·W); exact (see `_floor_sqrt`), so the ball loss's
+    volume-raise rule (``losses_foundation.py:1431``) is bit-identical.
+    `diameter` may be traced.
+    """
+    d_odd = odd_ceil(jnp.asarray(diameter, jnp.float32))
+    r2 = (d_odd / 2.0) ** 2
+    cz = _wrapped_coords(shape[0])
+    cy = _wrapped_coords(shape[1])
+    t = r2 - cz[:, None] ** 2 - cy[None, :] ** 2  # (D, H)
+    s = _floor_sqrt(t)
+    n = shape[2]
+    hi = jnp.minimum(s, float(n // 2))
+    lo = jnp.maximum(-s, -float(n - n // 2 - 1))
+    cnt = jnp.where(t >= 0.0, jnp.maximum(hi - lo + 1.0, 0.0), 0.0)
+    return jnp.sum(cnt)
+
+
+def ball_count_clipped(shape, center, diameter):
+    """Voxel count of ``insert_ball(shape, center, diameter)`` WITHOUT
+    materialising it: integer x-range counting per (z, y) pair, O(D·H).
+
+    `center` must hold integer-valued coordinates (as produced by the
+    localisation argmax); `diameter` may be traced. Exactly equals
+    ``insert_ball(...).sum()`` — this is what makes the ball-growth ladder
+    (losses/ball.py) a drop-in replacement for the reference's grow loop
+    (``losses_foundation.py:1450-1461``).
+    """
+    d_odd = odd_ceil(jnp.asarray(diameter, jnp.float32))
+    r2 = (d_odd / 2.0) ** 2
+    cz, cy, cx = center
+    z = jnp.arange(shape[0], dtype=jnp.float32) - cz.astype(jnp.float32)
+    y = jnp.arange(shape[1], dtype=jnp.float32) - cy.astype(jnp.float32)
+    t = r2 - z[:, None] ** 2 - y[None, :] ** 2  # (D, H)
+    s = _floor_sqrt(t)
+    cxf = cx.astype(jnp.float32)
+    hi = jnp.minimum(cxf + s, float(shape[2] - 1))
+    lo = jnp.maximum(cxf - s, 0.0)
+    cnt = jnp.where(t >= 0.0, jnp.maximum(hi - lo + 1.0, 0.0), 0.0)
+    return jnp.sum(cnt)
+
+
 def insert_ball(shape, center, diameter):
     """Binary ball of (possibly traced) `diameter` centred at (possibly traced)
     integer coords `center = (cz, cy, cx)` on a static grid `shape`.

@@ -276,6 +276,36 @@ def test_isolate_tumor_batched_matches_single():
         np.testing.assert_array_equal(np.asarray(mbb)[b], np.asarray(mb1))
 
 
+def test_ball_counts_match_materialised():
+    # the closed-form O(D·H) counts must equal the materialised-ball sums
+    # EXACTLY — the ball loss's volume-raise rule and growth ladder compare
+    # them against integer reported volumes.
+    from rsuper_tpu.ops.balls import (
+        ball_count_clipped, ball_count_wrapped, ball_kernel_wrapped,
+    )
+
+    shape = (20, 24, 28)
+    for d in [1.0, 2.3, 3.0, 5.0, 9.7, 17.0, 23.0, 27.0, 40.0]:
+        want = float(jnp.sum(ball_kernel_wrapped(shape, jnp.float32(d))))
+        got = float(ball_count_wrapped(shape, jnp.float32(d)))
+        assert got == want, (d, got, want)
+
+    rng = np.random.default_rng(3)
+    for _ in range(12):
+        c = tuple(jnp.int32(rng.integers(0, s)) for s in shape)
+        d = jnp.float32(rng.uniform(1.0, 35.0))
+        want = float(jnp.sum(insert_ball(shape, c, d)))
+        got = float(ball_count_clipped(shape, c, d))
+        assert got == want, (c, float(d), got, want)
+    # border-clipped corner case at every extreme
+    for c in [(jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+              (jnp.int32(19), jnp.int32(23), jnp.int32(27))]:
+        for d in [3.0, 11.0, 30.0]:
+            want = float(jnp.sum(insert_ball(shape, c, jnp.float32(d))))
+            got = float(ball_count_clipped(shape, c, jnp.float32(d)))
+            assert got == want, (c, d, got, want)
+
+
 def test_dilate_cf_maxpool_variant():
     from rsuper_tpu.ops.morphology import dilate_cf
 
