@@ -79,15 +79,33 @@ def gwrp_weights_binned(x, n, c: float = 0.75, *, levels: int = 256):
     b = jnp.clip(jnp.ceil(flat / hi * levels).astype(jnp.int32), 0, levels) - 1
     # Histogram and table lookup as broadcast-compare reductions: XLA lowers
     # scatter-add / gather on TPU to scalar loops (7-8 ms EACH at 96³ on v5e,
-    # from the round-2 profile) while a compare-vs-iota that reduces away the
-    # levels axis fuses into one vectorised pass (~0.1 ms). The (V, levels)
-    # one-hot is never materialised — it exists per-tile inside the fusion.
-    lv = jnp.arange(levels, dtype=jnp.int32)
-    onehot = (b[:, None] == lv[None, :]).astype(jnp.float32)  # fused
-    counts = jnp.sum(onehot, axis=0)  # (levels,)
-    # rank of a voxel in bin k = count of voxels in bins > k.
-    higher = jnp.cumsum(counts[::-1])[::-1] - counts  # strictly-higher counts
-    ranks = jnp.sum(onehot * higher[None, :], axis=-1)  # lookup, fused
+    # from the round-2 profile) while compare-vs-iota reduces fuse into
+    # vectorised passes. A radix split b = C·c + f cuts the VPU work from
+    # O(V·levels) to O(V·(C+F)) — the cross table rides the MXU — with
+    # BIT-IDENTICAL ranks: [b_u > b_v] = [c_u > c_v] + [c_u = c_v][f_u > f_v].
+    if levels >= 16 and (levels & (levels - 1)) == 0:  # power of two: radix
+        C = 1 << (levels.bit_length() // 2)
+        F = levels // C
+        cb = b // F  # coarse digit; -1 for non-positive voxels
+        fb = b - cb * F  # fine digit in [0, F)
+        oc = (cb[:, None] == jnp.arange(C, dtype=jnp.int32)).astype(jnp.float32)
+        of = (fb[:, None] == jnp.arange(F, dtype=jnp.int32)).astype(jnp.float32)
+        # (C, F) bin-count table: one tall-skinny matmul over V (MXU work).
+        T = jnp.einsum("vc,vf->cf", oc, of)
+        counts_c = jnp.sum(T, axis=1)  # (C,)
+        higher_c = jnp.cumsum(counts_c[::-1])[::-1] - counts_c
+        # S[c, f] = count of voxels with coarse == c and fine > f.
+        S = jnp.cumsum(T[:, ::-1], axis=1)[:, ::-1] - T
+        ranks = jnp.sum(oc * higher_c[None, :], axis=-1) + jnp.sum(
+            of * (oc @ S), axis=-1
+        )
+    else:
+        lv = jnp.arange(levels, dtype=jnp.int32)
+        onehot = (b[:, None] == lv[None, :]).astype(jnp.float32)  # fused
+        counts = jnp.sum(onehot, axis=0)  # (levels,)
+        # rank of a voxel in bin k = count of voxels in bins > k.
+        higher = jnp.cumsum(counts[::-1])[::-1] - counts
+        ranks = jnp.sum(onehot * higher[None, :], axis=-1)  # lookup, fused
     ranks = jnp.where(b < 0, jnp.float32(L), ranks)
     d = _decay(n, c)
     w = jnp.where(ranks < n, d**ranks, 0.0)

@@ -199,6 +199,28 @@ def test_gwrp_weights_binned_close_to_exact():
     assert np.abs(we - wb).sum() < 0.05
 
 
+def test_gwrp_weights_binned_radix_matches_onehot_oracle():
+    # the radix (16x16) ranking must be BIT-IDENTICAL to the direct
+    # levels-wide one-hot ranking it replaced
+    rng = np.random.default_rng(11)
+    x = rng.random((10, 11, 12)).astype(np.float32)
+    x[x < 0.3] = 0.0  # include non-positive voxels (rank L path)
+    for levels in (256, 1024):
+        flat = x.reshape(-1)
+        hi = max(flat.max(), 1e-30)
+        b = np.clip(np.ceil(flat / hi * levels).astype(np.int64), 0, levels) - 1
+        counts = np.bincount(b[b >= 0], minlength=levels)
+        higher = counts[::-1].cumsum()[::-1] - counts
+        ranks = np.where(b < 0, float(flat.size), higher[np.maximum(b, 0)])
+        n, c = 140, 0.5
+        d = (1.0 - c) ** (1.0 / max(n, 1.0))
+        w = np.where(ranks < n, d**ranks, 0.0)
+        w = (w / max(w.sum(), 1e-30)).reshape(x.shape).astype(np.float32)
+        got = np.asarray(gwrp_weights_binned(
+            jnp.asarray(x), n, c=c, levels=levels))
+        np.testing.assert_allclose(got, w, rtol=1e-5, atol=1e-8)
+
+
 def test_gwrp_weights_binned_zero_excluded():
     x = np.zeros((8, 8, 8), np.float32)
     x[0, 0, :4] = [0.4, 0.3, 0.2, 0.1]
