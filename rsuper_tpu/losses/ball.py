@@ -256,32 +256,35 @@ def _tumor_branch_batched(x_logits, tumor_seg, penalize, volumes, diameters,
     max_dias = jnp.where(max_dias <= 1.0, 3.0, max_dias)
     vols = jnp.where(volumes <= 1.0, 9.0, volumes)
     valid = (volumes > 0) & item_valid[:, None]  # (B, T)
-    # slots are volume-sorted, so slot t is live iff ANY item has >= t+1
-    # tumors: the scan executes max-tumor-count steps, not T
-    any_valid = jnp.any(valid, axis=0)  # (T,)
+    # slots are volume-sorted, so per-item validity is a PREFIX and slot t is
+    # live iff ANY item has >= t+1 tumors: the loop runs exactly
+    # max-tumor-count iterations — dead slots cost nothing (the previous
+    # scan-over-T dispatched a conditional per slot, live or not)
+    n_live = jnp.sum(jnp.any(valid, axis=0).astype(jnp.int32))
 
-    # the scan carries the RUNNING UNIONS of the pseudo/big masks instead of
+    # the loop carries the RUNNING UNIONS of the pseudo/big masks instead of
     # emitting per-slot (T, B, D, H, W) stacks and reducing afterwards — only
     # the unions are ever consumed, and keeping them in the carry removes
-    # ~4 volumes of HBM writes + re-reads per slot
-    def scan_body(carry, slot):
-        vol, dia, ok, live = slot  # (B,), (B,), (B,), scalar
+    # ~4 volumes of HBM writes + re-reads per slot. Everything inside is
+    # supervision-target work on stop_gradient inputs, so the while_loop
+    # never sees a tangent.
+    volsT, diasT, validT = vols.T, max_dias.T, valid.T  # (T, B)
 
-        def do(carry):
-            x_iter, u_sel, u_big = carry
-            m, ms, mb = isolate_tumor_batched(x_iter, dia, vol, cfg)
-            okf = ok[:, None, None, None].astype(jnp.float32)
-            sel = (ms if cfg.use_small_pseudo_mask else m) * okf
-            return (x_iter * (1.0 - m * okf),
-                    jnp.maximum(u_sel, sel),
-                    jnp.maximum(u_big, mb * okf)), None
-
-        return lax.cond(live, do, lambda c: (c, None), carry)
+    def slot_body(state):
+        s, x_iter, u_sel, u_big = state
+        vol = lax.dynamic_index_in_dim(volsT, s, keepdims=False)
+        dia = lax.dynamic_index_in_dim(diasT, s, keepdims=False)
+        ok = lax.dynamic_index_in_dim(validT, s, keepdims=False)
+        m, ms, mb = isolate_tumor_batched(x_iter, dia, vol, cfg)
+        okf = ok[:, None, None, None].astype(jnp.float32)
+        sel = (ms if cfg.use_small_pseudo_mask else m) * okf
+        return (s + 1, x_iter * (1.0 - m * okf),
+                jnp.maximum(u_sel, sel), jnp.maximum(u_big, mb * okf))
 
     zero_u = jnp.zeros_like(x_act)
-    (_, pseudo, big), _ = lax.scan(
-        scan_body, (x_act, zero_u, zero_u),
-        (vols.T, max_dias.T, valid.T, any_valid),
+    _, _, pseudo, big = lax.while_loop(
+        lambda st: st[0] < n_live, slot_body,
+        (jnp.int32(0), x_act, zero_u, zero_u),
     )  # pseudo/big: (B, D, H, W) binary unions
     if cfg.dilation_for_background > 0:
         big = dilate_cf(big, cfg.dilation_for_background)
