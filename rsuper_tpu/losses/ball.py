@@ -23,8 +23,8 @@ TPU-first redesign (every shape static, no data-dependent python control flow):
 * the whole batch is processed together — tumor slot t of EVERY item runs in
   one batched step (shared/batched FFTs, one Pallas selection kernel per
   slot), and the executed slot count is the batch MAX tumor count, not the
-  sum: ``lax.scan`` over ``T`` zero-padded slots, each under a ``lax.cond``
-  on "any item has a valid tumor in this slot" (round-1 ran items serially
+  sum: a ``lax.while_loop`` over the live (volume-sorted, hence prefix)
+  slots — dead slots are never dispatched (round-1 ran items serially
   under ``lax.map``, a 2× wall at the reference's per-chip batch 2);
 * an all-mask-only batch skips the entire construction via an outer
   ``lax.cond``, and items without tumors get the cheap no-tumor BCE;

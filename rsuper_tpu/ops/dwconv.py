@@ -75,13 +75,21 @@ def _plane_f32(H, W, CB):
 def dw_supported(shape, dtype) -> bool:
     """Gate: (B, D, H, W, C) with 128-divisible C (full lanes) and the
     whole-plane stack working set inside the raised VMEM budget. Oversized
-    planes (>= ~112^2 in-plane) fall back to XLA — no production site does."""
+    planes (>= ~112^2 in-plane) fall back to XLA — no production site does.
+
+    The stack term is dtype-independent (the kernel computes on f32 planes);
+    `dtype` sizes the double-buffered block refs (~6 planes: x, dy in, dx out
+    ×2 buffers), which must fit beside the stack under the raised VMEM limit.
+    """
     if len(shape) != 5:
         return False
     _, _, H, W, C = shape
     if C % _CB:
         return False
-    return _STACK_PLANES * _plane_f32(H, W, min(C, _CB)) <= _STACK_BUDGET
+    cb = min(C, _CB)
+    stack = _STACK_PLANES * _plane_f32(H, W, cb)
+    refs = 6 * H * W * cb * jnp.dtype(dtype).itemsize
+    return stack <= _STACK_BUDGET and stack + refs <= _VMEM_LIMIT_BYTES
 
 
 def _edge_iotas(H, W):

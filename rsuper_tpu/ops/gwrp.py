@@ -96,8 +96,15 @@ def gwrp_weights_binned(x, n, c: float = 0.75, *, levels: int = 256):
         higher_c = jnp.cumsum(counts_c[::-1])[::-1] - counts_c
         # S[c, f] = count of voxels with coarse == c and fine > f.
         S = jnp.cumsum(T[:, ::-1], axis=1)[:, ::-1] - T
-        ranks = jnp.sum(oc * higher_c[None, :], axis=-1) + jnp.sum(
-            of * (oc @ S), axis=-1
+        # the oc @ S row lookup MUST run at HIGHEST matmul precision: S holds
+        # integer counts up to V (~2M) and the TPU's default bf16-operand
+        # matmul would round them (ulp 2048 at 880k), flipping the hard
+        # `ranks < n` cutoff near the boundary. HIGHEST keeps the integer
+        # products exact in f32; the round pins any residual accumulation dust
+        s_rows = jnp.matmul(oc, S, precision=jax.lax.Precision.HIGHEST)
+        ranks = jnp.round(
+            jnp.sum(oc * higher_c[None, :], axis=-1)
+            + jnp.sum(of * s_rows, axis=-1)
         )
     else:
         lv = jnp.arange(levels, dtype=jnp.int32)

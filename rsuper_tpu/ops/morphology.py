@@ -122,33 +122,39 @@ def _axis_max(x, axis: int, size: int):
                              padding)
 
 
+def _ball5_float(x):
+    """Un-thresholded ball(2.5) dilation of a non-negative float input via
+    ball(2.5) = cube(3) ⊕ cross(1) — shared by the ball5/ball7 paths."""
+    sp = range(x.ndim - 3, x.ndim)
+    cube = x
+    for ax in sp:
+        cube = _axis_max(cube, ax, 3)
+    out = cube
+    for ax in sp:
+        out = jnp.maximum(out, _axis_max(cube, ax, 3))
+    return out
+
+
 def _dilate_ball5_cf(x):
     """EXACT ball(radius 2.5) dilation via the decomposition
     ball(2.5) = cube(3) ⊕ cross(1): offsets reachable are all |c|∞<=2 except
     those with two or more coordinates at ±2 — exactly the k=5 discrete ball.
     Implemented as separable reduce_window maxes: ~10 elementwise passes
     instead of a 3D conv (145 ms scalar loop) or FFT (45 ms) on TPU."""
-    f = x.astype(jnp.float32)
-    sp = range(x.ndim - 3, x.ndim)
-    cube = f
-    for ax in sp:
-        cube = _axis_max(cube, ax, 3)
-    out = cube
-    for ax in sp:
-        out = jnp.maximum(out, _axis_max(cube, ax, 3))
-    return (out > 0.5).astype(x.dtype)
+    return (_ball5_float(x.astype(jnp.float32)) > 0.5).astype(x.dtype)
 
 
 def _axis_pm_max(x, axis: int, offset: int):
-    """max(x[.. -offset ..], x[.. +offset ..]) along one axis (zero-padded):
-    a window of 2 taps spread ``2*offset`` apart via window_dilation."""
+    """max(x[.. -offset ..], x[.. +offset ..]) along one axis, zero-padded
+    (init value 0 — `x` must be non-negative, as binary masks are): a window
+    of 2 taps spread ``2*offset`` apart via window_dilation."""
     dims = [1] * x.ndim
     dims[axis] = 2
     dil = [1] * x.ndim
     dil[axis] = 2 * offset
     padding = [(0, 0)] * x.ndim
     padding[axis] = (offset, offset)
-    return lax.reduce_window(x, -jnp.inf, lax.max, tuple(dims), (1,) * x.ndim,
+    return lax.reduce_window(x, 0.0, lax.max, tuple(dims), (1,) * x.ndim,
                              padding, window_dilation=tuple(dil))
 
 
@@ -162,12 +168,7 @@ def _dilate_ball7_cf(x):
     TPU) or an FFT (~3 ms per 96³ volume)."""
     f = x.astype(jnp.float32)
     sp = range(x.ndim - 3, x.ndim)
-    cube = f
-    for ax in sp:
-        cube = _axis_max(cube, ax, 3)
-    b5 = cube
-    for ax in sp:
-        b5 = jnp.maximum(b5, _axis_max(cube, ax, 3))
+    b5 = _ball5_float(f)
     out = b5
     for ax in sp:
         out = jnp.maximum(out, _axis_max(b5, ax, 3))

@@ -59,7 +59,20 @@ def _use_pallas() -> bool:
 _PALLAS_MAX_ELEMS = 3_500_000
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "use_pallas"))
+def _topn_mask_impl(x, n, *, iters: int, use_pallas: bool):
+    # threshold selection is piecewise-constant — never differentiable; the
+    # Pallas kernel also has no VJP, so cut the tape explicitly
+    x_ng = jax.lax.stop_gradient(x)
+    if use_pallas:
+        from .pallas_topn import pallas_topn_threshold
+
+        t = pallas_topn_threshold(x_ng, n, iters=iters)
+    else:
+        t = topn_threshold(x_ng, n, iters=iters)
+    return ((x_ng >= t) & (x_ng > 0)).astype(jnp.float32)
+
+
 def topn_mask(x, n, *, iters: int = 26):
     """Binary mask over the ~n largest strictly-positive entries of `x`.
 
@@ -69,30 +82,22 @@ def topn_mask(x, n, *, iters: int = 26):
     the shortfall, as the reference does with its dilation loop).
 
     On TPU, volumes that fit in VMEM use the fused Pallas bisection kernel
-    (one HBM read instead of `iters` sweeps; see ``pallas_topn``).
+    (one HBM read instead of `iters` sweeps; see ``pallas_topn``). The
+    Pallas/XLA choice is resolved HERE — at the caller's trace time, where
+    `ops.dispatch` scopes apply — and passed down as a static jit key, so a
+    cached inner trace can never leak across `pallas_disabled()` scopes.
     """
-    # threshold selection is piecewise-constant — never differentiable; the
-    # Pallas kernel also has no VJP, so cut the tape explicitly
-    x_ng = jax.lax.stop_gradient(x)
-    if _use_pallas() and x.size <= _PALLAS_MAX_ELEMS:
-        from .pallas_topn import pallas_topn_threshold
-
-        t = pallas_topn_threshold(x_ng, n, iters=iters)
-    else:
-        t = topn_threshold(x_ng, n, iters=iters)
-    return ((x_ng >= t) & (x_ng > 0)).astype(jnp.float32)
+    return _topn_mask_impl(
+        x, n, iters=iters,
+        use_pallas=_use_pallas() and x.size <= _PALLAS_MAX_ELEMS,
+    )
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def topn_masks_multi(x, ns, *, iters: int = 26):
-    """Stack of binary masks (K, *x.shape), one per n in `ns` (K,).
-
-    On TPU all K bisections share ONE fused Pallas kernel (single VMEM load);
-    elsewhere a vmapped bisection. Used by the ball loss for its
-    (N, N_small, N_big) mask triple."""
+@partial(jax.jit, static_argnames=("iters", "use_pallas"))
+def _topn_masks_multi_impl(x, ns, *, iters: int, use_pallas: bool):
     x_ng = jax.lax.stop_gradient(x)
     ns = jnp.asarray(ns, jnp.float32).reshape(-1)
-    if _use_pallas() and x.size <= _PALLAS_MAX_ELEMS:
+    if use_pallas:
         from .pallas_topn import pallas_topn_threshold_multi
 
         ts = pallas_topn_threshold_multi(x_ng, ns, iters=iters)
@@ -103,20 +108,25 @@ def topn_masks_multi(x, ns, *, iters: int = 26):
     return ((x_ng[None] >= ts) & (x_ng[None] > 0)).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def topn_masks_multi_batched(x, ns, *, iters: int = 26):
-    """Batched `topn_masks_multi`: x (B, *spatial), ns (B, K) ->
-    masks (B, K, *spatial).
+def topn_masks_multi(x, ns, *, iters: int = 26):
+    """Stack of binary masks (K, *x.shape), one per n in `ns` (K,).
 
-    On TPU this runs the grid-over-batch Pallas kernel (one VMEM load per
-    item, all K bisections on-chip); elsewhere a double-vmapped bisection.
-    The per-item volume (not the whole batch) must fit in VMEM.
-    """
+    On TPU all K bisections share ONE fused Pallas kernel (single VMEM load);
+    elsewhere a vmapped bisection. Used by the ball loss for its
+    (N, N_small, N_big) mask triple. Pallas/XLA resolved at the caller's
+    trace time (see `topn_mask`)."""
+    return _topn_masks_multi_impl(
+        x, ns, iters=iters,
+        use_pallas=_use_pallas() and x.size <= _PALLAS_MAX_ELEMS,
+    )
+
+
+@partial(jax.jit, static_argnames=("iters", "use_pallas"))
+def _topn_masks_multi_batched_impl(x, ns, *, iters: int, use_pallas: bool):
     x_ng = jax.lax.stop_gradient(x)
     B = x.shape[0]
-    per_item = x.size // B
     ns = jnp.asarray(ns, jnp.float32).reshape(B, -1)
-    if _use_pallas() and per_item <= _PALLAS_MAX_ELEMS:
+    if use_pallas:
         from .pallas_topn import pallas_topn_threshold_multi_batched
 
         ts = pallas_topn_threshold_multi_batched(x_ng, ns, iters=iters)
@@ -129,3 +139,19 @@ def topn_masks_multi_batched(x, ns, *, iters: int = 26):
     ts = ts.reshape(ts.shape + (1,) * (x.ndim - 1))  # (B, K, 1...)
     xb = x_ng[:, None]  # (B, 1, *spatial)
     return ((xb >= ts) & (xb > 0)).astype(jnp.float32)
+
+
+def topn_masks_multi_batched(x, ns, *, iters: int = 26):
+    """Batched `topn_masks_multi`: x (B, *spatial), ns (B, K) ->
+    masks (B, K, *spatial).
+
+    On TPU this runs the grid-over-batch Pallas kernel (one VMEM load per
+    item, all K bisections on-chip); elsewhere a double-vmapped bisection.
+    The per-item volume (not the whole batch) must fit in VMEM. Pallas/XLA
+    resolved at the caller's trace time (see `topn_mask`).
+    """
+    per_item = x.size // x.shape[0]
+    return _topn_masks_multi_batched_impl(
+        x, ns, iters=iters,
+        use_pallas=_use_pallas() and per_item <= _PALLAS_MAX_ELEMS,
+    )

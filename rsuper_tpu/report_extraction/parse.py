@@ -87,16 +87,29 @@ def parse_malignancy(answer: str, organ: str = "liver") -> Dict[str, object]:
     return {f"Malignant Tumor in {organ}": _yes_no_u(pat, text)}
 
 
+_MEASUREMENT_ONLY_RE = re.compile(r"^[\s\d.,x×*-]+$")
+_UNITLESS_MAX_MM = 500.0  # plausibility bound for a bare-number tumor size
+
+
 def _max_size_mm(raw: str):
     """Largest measurement in a size string, in mm (reference ``get_value``
     step='malignant size', RadGPT.py:1319-1346: per-segment cm→mm conversion,
-    max over all numbers); None when no number parses."""
+    max over all numbers); None when no number parses.
+
+    The unitless fallback (the size prompts establish 'no unit means mm')
+    only fires when the segment is PURE measurement syntax and the values are
+    plausible tumor sizes — so free-text answers that merely contain a number
+    ('unchanged from the 2020 exam', '2 subcentimeter lesions') parse to
+    None instead of poisoning the CSV with a bogus millimetre value."""
     sizes = []
-    for text, unit in _UNIT_RE.findall(raw.lower()):
+    low = raw.lower()
+    for text, unit in _UNIT_RE.findall(low):
         for n in _NUM_RE.findall(text):
             sizes.append(float(n) * (10.0 if unit == "cm" else 1.0))
-    if not sizes:  # unitless: assume mm (prompt contract)
-        sizes = [float(n) for n in _NUM_RE.findall(raw)]
+    if not sizes and _MEASUREMENT_ONLY_RE.match(low.strip() or " "):
+        sizes = [float(n) for n in _NUM_RE.findall(low)]
+        if any(s > _UNITLESS_MAX_MM for s in sizes):
+            sizes = []
     return max(sizes) if sizes else None
 
 

@@ -664,3 +664,26 @@ def test_pallas_disabled_scope_restores_flag():
         with dispatch.pallas_disabled():
             raise RuntimeError("boom")
     assert dispatch._PALLAS_ENABLED
+
+
+def test_topn_dispatch_flag_consulted_per_call(monkeypatch):
+    """The Pallas/XLA choice for the top-N ops must be resolved at EVERY
+    call (as a static jit key), never baked into a cached inner trace — a
+    trace cached outside a ``pallas_disabled()`` scope must not leak the
+    Pallas custom call into a spatially-sharded trace at the same shapes
+    (review r3: selection.py consulted the flag only at first trace)."""
+    from rsuper_tpu.ops import selection
+
+    calls = []
+
+    def probe():
+        calls.append(1)
+        return False
+
+    monkeypatch.setattr(selection, "_use_pallas", probe)
+    x = jnp.arange(64.0).reshape(8, 8)
+    selection.topn_mask(x, jnp.float32(5.0))
+    selection.topn_mask(x, jnp.float32(5.0))
+    selection.topn_masks_multi_batched(x[None], jnp.asarray([[5.0, 9.0]]))
+    selection.topn_masks_multi_batched(x[None], jnp.asarray([[5.0, 9.0]]))
+    assert len(calls) == 4

@@ -5,7 +5,8 @@
 # everything reuses the persistent compile cache.
 set -u
 cd /root/repo
-ENVV="env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache"
+export PYTHONPATH=/root/repo:/root/.axon_site
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 mkdir -p artifacts
 
 run() { # name, timeout_s, cmd...
@@ -18,11 +19,11 @@ run() { # name, timeout_s, cmd...
   return $rc
 }
 
-run probe 240 env PYTHONPATH=/root/repo:/root/.axon_site python tools/tpu_probe.py || { echo "TPU DOWN — aborting"; exit 1; }
-run smoke 4500 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache python bench.py --smoke || { echo "SMOKE FAILED"; exit 2; }
-run bench96 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache python bench.py
-run augment 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache python tools/bench_augment.py
-run profile96 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache PROFILE_DIR=/root/repo/artifacts/profile_r3d python tools/profile_step.py
-run bench128 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache RSUPER_BENCH_SIZE=128 python bench.py
-run infer 3600 env PYTHONPATH=/root/repo:/root/.axon_site JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache python bench_infer.py
+run probe 240 python tools/tpu_probe.py || { echo "TPU DOWN — aborting"; exit 1; }
+run smoke 4500 python bench.py --smoke || { echo "SMOKE FAILED"; exit 2; }
+run bench96 3600 python bench.py
+run augment 3600 python tools/bench_augment.py
+run profile96 3600 env PROFILE_DIR=/root/repo/artifacts/profile_r3d python tools/profile_step.py
+run bench128 3600 env RSUPER_BENCH_SIZE=128 python bench.py
+run infer 3600 python bench_infer.py
 echo "ALL DONE $(date +%H:%M:%S)"
