@@ -384,18 +384,49 @@ def _halo_specs(Ci, D, S, TD):
     ]
 
 
-def _pick_td(D: int, S: int, Cmax: int, concat_kw: bool, itemsize: int,
-             streams: int = 1) -> int:
+# Whole-plane TD budget, calibrated against real Mosaic scoped-VMEM
+# allocations on v5e (the 16 MB limit): the model below predicts 15.3M for
+# (Ci=32, Co=32, TD=4, 96²) which FITS on hardware (the production full-res
+# stage), and 17.7M for (Ci=48, Co=64, TD=2, 96²) which FAILS (observed
+# 19.23M — the paired conv+shortcut call). 15.5M admits every measured-good
+# configuration and rejects the measured-bad one with margin.
+_TD_VMEM_BUDGET = 15_500_000
+
+
+def _td_vmem_est(td: int, S: int, Ci: int, Co: int, itemsize: int,
+                 wgrad: bool) -> int:
+    """Scoped-VMEM working-set estimate of one whole-plane grid step:
+    3 TD-row input halo streams + the TD-row output (or dy) stream + the
+    (3·C_in, S) kw-concat patch + the 3 activated depth rows, plus (forward)
+    two live f32 (C_out, S) accumulators (`part` + `acc`), or (wgrad) the dy
+    row copy + the small f32 dw block. The wgrad streams carry a ×2
+    double-buffer factor — calibrated to the round-2 v5e observation that a
+    single-stream budget put the 64³ wgrad tile 304K over the scoped limit
+    at TD=4 while TD=2 fits; the forward calibration points are in
+    _TD_VMEM_BUDGET's comment."""
+    streams = 3 * td * Ci + td * Co
+    scratch = 3 * Ci + 3 * Ci  # kw-concat patch + activated depth rows
+    if wgrad:
+        return S * itemsize * (2 * streams + scratch + Co) \
+            + 2 * 9 * Co * 3 * Ci * 4
+    return S * itemsize * (streams + scratch) + S * 2 * Co * 4
+
+
+def _pick_td(D: int, S: int, Ci: int, Co: int, concat_kw: bool,
+             itemsize: int, wgrad: bool = False) -> int:
     """Rows per grid step: amortise grid/halo overhead on small planes while
-    keeping the streamed tile bytes ≲2.5 MB of VMEM (the pipeline
-    double-buffers them). `streams` counts the TD-sized operands — the wgrad
-    streams body + dy, and ignoring the second stream put its 64³ tile 304K
-    over the scoped budget at 128³ (observed on v5e). Per-tap mode stays at
-    1 row."""
+    keeping the whole working set inside the scoped-VMEM budget. Round 2
+    budgeted only one streamed operand at max(Ci, Co) — the paired
+    conv+shortcut call (Ci=48 chunk, Co=64 at 96²) then blew scoped VMEM at
+    19.23M because the f32 accumulators and the kw-concat patch grow with
+    C_out/C_in too (caught by `bench.py --smoke` fused_pair_96_bf16).
+    Per-tap mode stays at 1 row."""
     if not concat_kw:
         return 1
     for td in (8, 4, 2):
-        if D % td == 0 and streams * td * S * Cmax * itemsize <= 2_500_000:
+        if D % td == 0 and (
+            _td_vmem_est(td, S, Ci, Co, itemsize, wgrad) <= _TD_VMEM_BUDGET
+        ):
             return td
     return 1
 
@@ -517,7 +548,7 @@ def _conv3_cf_pallas(x, w, interpret=False, stats=None):
         )(*([xf] * 9), *st, w_prep)
         return out.reshape(B, D, Co, H, W)
     concat_kw = S * Ci * x.dtype.itemsize <= _CONCAT_BUDGET
-    TD = _pick_td(D, S, max(Ci, Co), concat_kw, x.dtype.itemsize)
+    TD = _pick_td(D, S, Ci, Co, concat_kw, x.dtype.itemsize)
     st_specs = [_stats_spec(Ci, 2)] if fuse else []
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, W, concat_kw, TD, fuse),
@@ -563,7 +594,7 @@ def _wgrad_pallas(x, dy, Co, interpret=False, stats=None):
         dw = dw.reshape(3, 3, Co, 3, Ci)
         return jnp.transpose(dw, (0, 1, 3, 4, 2))
     concat_kw = S * Ci * x.dtype.itemsize <= _CONCAT_BUDGET
-    TD = _pick_td(D, S, max(Ci, Co), concat_kw, x.dtype.itemsize, streams=2)
+    TD = _pick_td(D, S, Ci, Co, concat_kw, x.dtype.itemsize, wgrad=True)
     st_specs = [_stats_spec(Ci, 2)] if fuse else []
     dw = pl.pallas_call(
         functools.partial(_wgrad_kernel, W, concat_kw, TD, fuse),
