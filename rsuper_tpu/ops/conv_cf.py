@@ -43,6 +43,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from . import dispatch
 
+# Kernel-signature trace hook: when set, called with a dict describing every
+# pallas_call this module is about to dispatch (post channel-chunking, with
+# the picked TD/TH) — `ops/trace_shapes.py` uses it to derive the real-model
+# shape inventory for the hardware smoke gate and the VMEM calibration table.
+# None in production; zero overhead.
+_trace_hook = None
+
+# Calibration override: forces _pick_td's return value so
+# tools/calibrate_vmem.py can measure each (signature, TD) cell on hardware.
+_td_override = None
+
+
+def _emit_trace(**sig):
+    if _trace_hook is not None:
+        _trace_hook(dict(sig))
+
 
 def _row(ref):
     """(1, 1, C, S) halo/body block → 2D (C, S)."""
@@ -413,20 +429,42 @@ def _td_vmem_est(td: int, S: int, Ci: int, Co: int, itemsize: int,
 
 
 def _pick_td(D: int, S: int, Ci: int, Co: int, concat_kw: bool,
-             itemsize: int, wgrad: bool = False) -> int:
+             itemsize: int, wgrad: bool = False,
+             fused: bool = False) -> int:
     """Rows per grid step: amortise grid/halo overhead on small planes while
-    keeping the whole working set inside the scoped-VMEM budget. Round 2
-    budgeted only one streamed operand at max(Ci, Co) — the paired
-    conv+shortcut call (Ci=48 chunk, Co=64 at 96²) then blew scoped VMEM at
-    19.23M because the f32 accumulators and the kw-concat patch grow with
-    C_out/C_in too (caught by `bench.py --smoke` fused_pair_96_bf16).
-    Per-tap mode stays at 1 row."""
+    keeping the whole working set inside scoped VMEM.
+
+    The primary source of truth is the HARDWARE-MEASURED table
+    (`ops/vmem_table.py`, generated by `tools/calibrate_vmem.py` from real
+    Mosaic compiles of every kernel signature the MedFormer configs emit):
+    two rounds of analytic budgets each mispredicted a new shape (round 2:
+    the paired conv at 19.23M; round 3: the 128³ pair at Ci=64→Co=128/S=4096,
+    18.93M — the estimator said 12.6M because it missed the fused epilogue's
+    per-row f32 temporaries and Mosaic's tap liveness). Unmeasured shapes
+    fall back to the analytic estimate plus a conservative fused-epilogue
+    term (TD·3·Ci·S·4 bytes of live f32 normalize temps — calibrated to the
+    observed 18.93M); the traced smoke gate catches any survivor on hardware
+    before a training run can hit it. Per-tap mode stays at 1 row."""
+    if _td_override is not None:
+        return _td_override
     if not concat_kw:
         return 1
+    from .vmem_table import MEASURED_TD
+
+    cap = MEASURED_TD.get(
+        ("wgrad" if wgrad else "fwd", S, Ci, Co, itemsize, bool(fused))
+    )
     for td in (8, 4, 2):
-        if D % td == 0 and (
-            _td_vmem_est(td, S, Ci, Co, itemsize, wgrad) <= _TD_VMEM_BUDGET
-        ):
+        if D % td != 0:
+            continue
+        if cap is not None:
+            if td <= cap:
+                return td
+            continue
+        est = _td_vmem_est(td, S, Ci, Co, itemsize, wgrad)
+        if fused:
+            est += td * 3 * Ci * S * 4
+        if est <= _TD_VMEM_BUDGET:
             return td
     return 1
 
@@ -534,6 +572,9 @@ def _conv3_cf_pallas(x, w, interpret=False, stats=None):
     st = (stats.astype(jnp.float32),) if fuse else ()
     if not _whole_plane_ok(x.dtype, S) and _ht_supported(H, W):
         TH = _pick_th(H, W, max(Ci, Co))
+        _emit_trace(op="conv_cf", kind="fwd", mode="ht", B=B, D=D, Ci=Ci,
+                    Co=Co, H=H, W=W, itemsize=x.dtype.itemsize,
+                    dtype=str(x.dtype), fused=fuse, th=TH)
         st_specs = [_stats_spec(Ci, 3)] if fuse else []
         out = pl.pallas_call(
             functools.partial(_fwd_kernel_ht, W, fuse),
@@ -548,7 +589,10 @@ def _conv3_cf_pallas(x, w, interpret=False, stats=None):
         )(*([xf] * 9), *st, w_prep)
         return out.reshape(B, D, Co, H, W)
     concat_kw = S * Ci * x.dtype.itemsize <= _CONCAT_BUDGET
-    TD = _pick_td(D, S, Ci, Co, concat_kw, x.dtype.itemsize)
+    TD = _pick_td(D, S, Ci, Co, concat_kw, x.dtype.itemsize, fused=fuse)
+    _emit_trace(op="conv_cf", kind="fwd", mode="plane", B=B, D=D, Ci=Ci,
+                Co=Co, H=H, W=W, itemsize=x.dtype.itemsize,
+                dtype=str(x.dtype), fused=fuse, concat_kw=concat_kw, td=TD)
     st_specs = [_stats_spec(Ci, 2)] if fuse else []
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, W, concat_kw, TD, fuse),
@@ -579,6 +623,9 @@ def _wgrad_pallas(x, dy, Co, interpret=False, stats=None):
     st = (stats.astype(jnp.float32),) if fuse else ()
     if not _whole_plane_ok(x.dtype, S) and _ht_supported(H, W):
         TH = _pick_th(H, W, max(Ci, Co))
+        _emit_trace(op="conv_cf", kind="wgrad", mode="ht", B=B, D=D, Ci=Ci,
+                    Co=Co, H=H, W=W, itemsize=x.dtype.itemsize,
+                    dtype=str(x.dtype), fused=fuse, th=TH)
         st_specs = [_stats_spec(Ci, 3)] if fuse else []
         dw = pl.pallas_call(
             functools.partial(_wgrad_kernel_ht, W, fuse),
@@ -594,7 +641,11 @@ def _wgrad_pallas(x, dy, Co, interpret=False, stats=None):
         dw = dw.reshape(3, 3, Co, 3, Ci)
         return jnp.transpose(dw, (0, 1, 3, 4, 2))
     concat_kw = S * Ci * x.dtype.itemsize <= _CONCAT_BUDGET
-    TD = _pick_td(D, S, Ci, Co, concat_kw, x.dtype.itemsize, wgrad=True)
+    TD = _pick_td(D, S, Ci, Co, concat_kw, x.dtype.itemsize, wgrad=True,
+                  fused=fuse)
+    _emit_trace(op="conv_cf", kind="wgrad", mode="plane", B=B, D=D, Ci=Ci,
+                Co=Co, H=H, W=W, itemsize=x.dtype.itemsize,
+                dtype=str(x.dtype), fused=fuse, concat_kw=concat_kw, td=TD)
     st_specs = [_stats_spec(Ci, 2)] if fuse else []
     dw = pl.pallas_call(
         functools.partial(_wgrad_kernel, W, concat_kw, TD, fuse),

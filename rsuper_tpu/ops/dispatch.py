@@ -23,6 +23,11 @@ from contextlib import contextmanager
 import jax
 
 _PALLAS_ENABLED = True
+_PALLAS_FORCED = False
+
+# dwconv's kernel-signature trace hook lives here to avoid an import cycle
+# (trace_shapes sets it; dwconv reads it via getattr).
+_dw_trace_hook = None
 
 
 def set_pallas_enabled(enabled: bool) -> None:
@@ -36,10 +41,28 @@ def pallas_enabled() -> bool:
         return False
     if not _PALLAS_ENABLED:
         return False
+    if _PALLAS_FORCED:
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # backend not initialised yet
         return False
+
+
+@contextmanager
+def pallas_forced():
+    """Force the TPU dispatch decisions during ABSTRACT tracing on any
+    backend — `ops/trace_shapes.py` uses this under `jax.eval_shape` to
+    collect the exact kernel-signature inventory a real-TPU graph would
+    lower, from a CPU host. Never wrap real computation on a non-TPU
+    backend in this (Mosaic kernels do not lower there)."""
+    global _PALLAS_FORCED
+    prev = _PALLAS_FORCED
+    _PALLAS_FORCED = True
+    try:
+        yield
+    finally:
+        _PALLAS_FORCED = prev
 
 
 @contextmanager

@@ -197,9 +197,17 @@ def _params(interpret):
         vmem_limit_bytes=_VMEM_LIMIT_BYTES)}
 
 
+def _emit_trace(**sig):
+    hook = getattr(dispatch, "_dw_trace_hook", None)
+    if hook is not None:
+        hook(dict(sig))
+
+
 def _dw_pallas(x, w27, interpret=False):
     B, D, H, W, C = x.shape
     CB = min(C, _CB)
+    _emit_trace(op="dwconv", kind="fwd", B=B, D=D, H=H, W=W, C=C,
+                dtype=str(x.dtype))
     halo, blk, mid = _depth_specs(D, H, W, CB)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, D),
@@ -215,6 +223,8 @@ def _dw_pallas(x, w27, interpret=False):
 def _dw_bwd_pallas(x, w27, g, interpret=False):
     B, D, H, W, C = x.shape
     CB = min(C, _CB)
+    _emit_trace(op="dwconv", kind="bwd", B=B, D=D, H=H, W=W, C=C,
+                dtype=str(x.dtype))
     halo, blk, mid = _depth_specs(D, H, W, CB)
     dx, dw = pl.pallas_call(
         functools.partial(_bwd_kernel, D),
