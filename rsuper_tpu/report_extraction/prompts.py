@@ -262,3 +262,20 @@ def build_time_machine_payload(report1: str, date1, report2: str, date2) -> str:
     interpolates report1/date1/report2/date2 into one prompt)."""
     return (f"Report 1 (earlier exam, {date1}):\n{report1}\n\n"
             f"Report 2 (more recent exam, {date2}):\n{report2}")
+
+
+def build_examples_block(examples) -> str:
+    """Few-shot example block prepended to the user prompt: labeled example
+    reports before the target, the reference's ``create_conversation``
+    examples loop (RadGPT.py:1160-1169 — 'Report i: …' / 'Report i labels:
+    …' / '---' separators). `examples` is a list of (report_text, label)
+    pairs. Returns '' for an empty list so zero-shot prompts are unchanged
+    (answer-format parsing is identical either way)."""
+    if not examples:
+        return ""
+    parts = ["Labeled example reports — apply the same decision rules to "
+             "the final report:\n"]
+    for i, (report, label) in enumerate(examples, 1):
+        parts.append(f"Report {i}: {report}\n"
+                     f"Report {i} labels: {label}\n --- \n")
+    return "".join(parts)

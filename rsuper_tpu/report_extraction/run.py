@@ -60,6 +60,64 @@ STEPS = {
 }
 
 
+def read_reports(path: str, report_column: str | None = None) -> pd.DataFrame:
+    """Load a reports table in any of the reference's input formats —
+    csv / xlsx / feather (``RunRadGPT.py:101-146``: xlsx tries sheet 1 and
+    falls back to the default sheet; rows with a missing report text are
+    dropped)."""
+    lower = path.lower()
+    if lower.endswith((".xlsx", ".xls")):
+        try:
+            df = pd.read_excel(path, sheet_name=1)
+        except Exception:
+            df = pd.read_excel(path)
+    elif lower.endswith(".feather"):
+        df = pd.read_feather(path)
+    else:
+        df = pd.read_csv(path)
+    if report_column and report_column in df.columns:
+        df = df.dropna(subset=[report_column])
+    return df
+
+
+_DETECTION_LABEL_COLS = ("Liver Tumor", "Kidney Tumor", "Pancreas Tumor")
+
+
+def example_records(df: pd.DataFrame, example_ids, id_column: str,
+                    report_column: str, label_column: str | None = None):
+    """(report, label) pairs for the few-shot example ids (reference
+    ``get_report_n_label`` RadGPT.py:967-1005: the label is either an
+    explicit column or the detection-flag triple 'liver tumor=N; kidney
+    tumor=N; pancreas tumor=N'). Missing report or label raises, as the
+    reference does (:1163-1164)."""
+    recs = []
+    for ex in example_ids:
+        sel = df[df[id_column].astype(str) == str(ex)]
+        if sel.empty:
+            raise ValueError(f"example id {ex!r} not found in {id_column}")
+        row = sel.iloc[0]
+        report = row[report_column]
+        if not isinstance(report, str):
+            raise ValueError(f"no report text for example {ex!r}")
+        if label_column:
+            label = row[label_column]
+            if pd.isna(label):
+                raise ValueError(f"no {label_column!r} label for {ex!r}")
+            label = str(label)
+        else:
+            try:
+                label = "; ".join(
+                    f"{c.split()[0].lower()} tumor={int(row[c])}"
+                    for c in _DETECTION_LABEL_COLS)
+            except (KeyError, TypeError, ValueError):
+                raise ValueError(
+                    f"no label available for example {ex!r}: need "
+                    f"{list(_DETECTION_LABEL_COLS)} columns or "
+                    "--label_column")
+        recs.append((report, label))
+    return recs
+
+
 def pair_time_machine_reports(
     df: pd.DataFrame,
     id_column: str = "BDMAP_ID",
@@ -116,6 +174,8 @@ def run_extraction(
     step: str = "type_and_size",
     organ: str = "liver",
     timeline_column: str = "pancreatic cancer timeline",
+    examples=(),
+    label_column: str | None = None,
 ) -> None:
     os.makedirs(out_dir, exist_ok=True)
     raw_path = os.path.join(out_dir, f"raw_answers_part{part}.jsonl")
@@ -124,9 +184,13 @@ def run_extraction(
         "{organ_locations}", ORGAN_LOCATIONS.get(organ, "left, right")
     )
 
-    df = pd.read_csv(reports_csv)
+    df = read_reports(reports_csv, report_column)
     if "BDMAP ID" in df.columns:
         df = df.rename(columns={"BDMAP ID": id_column})
+    prefix = ""
+    if examples:
+        prefix = PR.build_examples_block(example_records(
+            df, examples, id_column, report_column, label_column))
     if step == "time_machine":
         # pair BEFORE part-sharding so every part sees whole patients
         df = pair_time_machine_reports(df, id_column, report_column,
@@ -147,7 +211,8 @@ def run_extraction(
     texts = todo[report_column].astype(str).tolist()
     for i in range(0, len(ids), batch):
         chunk_ids = ids[i : i + batch]
-        prompts = [user.format(report=t) for t in texts[i : i + batch]]
+        prompts = [prefix + user.format(report=t)
+                   for t in texts[i : i + batch]]
         answers = client.chat_batch(system, prompts)
         with open(raw_path, "a") as f:
             for cid, ans in zip(chunk_ids, answers):
@@ -283,6 +348,13 @@ def main(argv=None):
                    help="target organ for the malignancy step")
     p.add_argument("--timeline_column", default="pancreatic cancer timeline",
                    help="cohort timeline column for the time_machine step")
+    p.add_argument("--examples", default="",
+                   help="comma-separated ids of labeled reports to inject "
+                        "as few-shot examples (reference "
+                        "create_conversation examples loop)")
+    p.add_argument("--label_column", default=None,
+                   help="label column for --examples (default: the "
+                        "detection-flag triple)")
     p.add_argument("--postprocess_only", action="store_true")
     args = p.parse_args(argv)
     if not args.postprocess_only:
@@ -291,7 +363,9 @@ def main(argv=None):
                        report_column=args.report_column,
                        parts=args.parts, part=args.part,
                        step=args.step, organ=args.organ,
-                       timeline_column=args.timeline_column)
+                       timeline_column=args.timeline_column,
+                       examples=[e for e in args.examples.split(",") if e],
+                       label_column=args.label_column)
     postprocess_answers(args.out_dir, step=args.step, organ=args.organ)
 
 

@@ -660,3 +660,94 @@ def test_time_machine_step(tmp_path):
     out_df = pd.read_csv(tmp_path / "time_machine_pancreas.csv")
     assert out_df.iloc[0]["Very Likely Malignancy in pancreas"] == 1
     assert out_df.iloc[0]["Very Likely Malignant Tumor Size in pancreas"] == 12.0
+
+
+def test_few_shot_examples_and_input_formats(tmp_path, monkeypatch):
+    """Few-shot example injection (reference create_conversation
+    RadGPT.py:1121-1180: 'Report i: …' / 'Report i labels: …' blocks before
+    the target) and the csv/xlsx/feather input formats
+    (RunRadGPT.py:101-146)."""
+    from rsuper_tpu.report_extraction import run as R
+
+    df = pd.DataFrame({
+        "BDMAP_ID": ["BDMAP_A", "BDMAP_B", "BDMAP_C"],
+        "Report Text": ["liver mass 2 cm.", "normal study.",
+                        "pancreatic cyst."],
+        "Liver Tumor": [1, 0, 0],
+        "Kidney Tumor": [0, 0, 0],
+        "Pancreas Tumor": [0, 0, 1],
+        "note": ["malignant", "clean", "benign"],
+    })
+    csv = tmp_path / "reports.csv"
+    df.to_csv(csv, index=False)
+
+    class FakeClient:
+        def __init__(self):
+            self.prompts = []
+
+        def chat_batch(self, system, users):
+            self.prompts.extend(users)
+            return ["liver tumor: no\nkidney tumor: no\npancreas tumor: no"
+                    for _ in users]
+
+    client = FakeClient()
+    out = tmp_path / "out"
+    R.run_extraction(str(csv), str(out), client, step="tumor_detection",
+                     examples=["BDMAP_A", "BDMAP_C"])
+    assert len(client.prompts) == 3
+    p = client.prompts[0]
+    # the example block precedes the target report, labels in the
+    # reference's detection-flag format
+    assert "Report 1: liver mass 2 cm." in p
+    assert "Report 1 labels: liver tumor=1; kidney tumor=0; "\
+           "pancreas tumor=0" in p
+    assert "Report 2 labels: liver tumor=0; kidney tumor=0; "\
+           "pancreas tumor=1" in p
+    assert p.index("Report 2 labels") < p.index("CT report:")
+    # zero-shot prompts are unchanged (no example header)
+    client2 = FakeClient()
+    R.run_extraction(str(csv), str(tmp_path / "out0"), client2,
+                     step="tumor_detection")
+    assert "labels:" not in client2.prompts[0]
+
+    # explicit label column
+    client3 = FakeClient()
+    R.run_extraction(str(csv), str(tmp_path / "out1"), client3,
+                     step="tumor_detection", examples=["BDMAP_B"],
+                     label_column="note")
+    assert "Report 1 labels: clean" in client3.prompts[0]
+
+    # missing label/id raises, as the reference does
+    with pytest.raises(ValueError):
+        R.example_records(df.drop(columns=["Liver Tumor"]), ["BDMAP_A"],
+                          "BDMAP_ID", "Report Text")
+    with pytest.raises(ValueError):
+        R.example_records(df, ["NOPE"], "BDMAP_ID", "Report Text")
+
+    # --- input formats ---
+    # csv with NaN report rows dropped
+    df2 = df.copy()
+    df2.loc[1, "Report Text"] = None
+    csv2 = tmp_path / "nan.csv"
+    df2.to_csv(csv2, index=False)
+    assert len(R.read_reports(str(csv2), "Report Text")) == 2
+
+    # feather (pyarrow is available in this environment)
+    feather = tmp_path / "reports.feather"
+    df.to_feather(feather)
+    got = R.read_reports(str(feather), "Report Text")
+    assert list(got["BDMAP_ID"]) == list(df["BDMAP_ID"])
+
+    # xlsx: sheet 1 first, fall back to the default sheet (openpyxl is not
+    # installed here, so exercise the dispatch contract via monkeypatch)
+    calls = []
+
+    def fake_read_excel(path, sheet_name=None):
+        calls.append(sheet_name)
+        if sheet_name == 1:
+            raise ValueError("no second sheet")
+        return df
+
+    monkeypatch.setattr(R.pd, "read_excel", fake_read_excel)
+    got = R.read_reports(str(tmp_path / "reports.xlsx"), "Report Text")
+    assert calls == [1, None] and len(got) == 3
