@@ -687,14 +687,18 @@ _conv3_cf.defvjp(_conv3_cf_fwd, _conv3_cf_bwd)
 
 def _conv3_cf_xla(x, w):
     """Reference semantics on non-TPU backends: (B, D, C, H, W) conv,
-    SAME padding (feature dim in position 2)."""
+    SAME padding (feature dim in position 2). Operands are cast to f32 for
+    the conv (f32 accumulation, matching the Pallas kernels) — ALSO required
+    for differentiability: a bf16 conv with preferred_element_type=f32
+    transposes into a mixed-dtype conv (f32 cotangent × bf16 operand) that
+    lax rejects, which bf16 training on any pallas-off path (CPU, spatial
+    sharding) would hit."""
     out = jax.lax.conv_general_dilated(
-        x,
-        w,
+        x.astype(jnp.float32),
+        w.astype(jnp.float32),
         window_strides=(1, 1, 1),
         padding="SAME",
         dimension_numbers=("NDCHW", "DHWIO", "NDCHW"),
-        preferred_element_type=jnp.float32,
     )
     return out.astype(x.dtype)
 

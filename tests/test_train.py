@@ -323,3 +323,67 @@ def test_cross_validation_summary(tmp_path):
 
     nums = re.findall(r"(\d+\.\d+)±", text.splitlines()[-1])
     assert 0.0 <= float(nums[0]) <= 1.0
+
+
+@pytest.mark.slow
+def test_train_step_spatial_sharding_128_depth():
+    """Spatial sharding at the 128³ config's DEPTH with 4-way model shards —
+    the regime that actually stresses the 2-planes-per-shard correctness
+    bound (`mesh.spatial_constraint`): the zoo downsamples depth 16×, so
+    D=128 over 4 shards bottoms out at 128/16/4 = 2 planes/shard, exactly
+    the measured XLA SPMD conv-gradient exactness boundary. H=W stay small
+    (the bound concerns the sharded depth axis only), keeping the CPU cost
+    of a depth-128 volume tractable. Loss and raw gradients must match the
+    pure data-parallel step, as in the toy-depth test above."""
+    assert len(jax.devices()) == 8
+    mesh_s = make_mesh(jax.devices()[:8], data=2, model=4)
+    mesh_d = make_mesh(jax.devices()[:2], data=2)
+    model = get_model("resunet", len(CLASSES), {"base_chan": 2},
+                      dtype=jnp.float32)
+    tx = make_optimizer(base_lr=1e-2, warmup_epochs=0, max_epochs=100,
+                        steps_per_epoch=10)
+
+    rng = np.random.default_rng(1)
+    B, D, HW, C = 2, 128, 32, len(CLASSES)
+    lab = np.zeros((B, D, HW, HW, C), np.float32)
+    lab[:, 40:90, 8:24, 8:24, 1] = 1.0
+    batch = {
+        "image": jnp.asarray(
+            rng.normal(size=(B, D, HW, HW, 1)).astype(np.float32)),
+        "label": jnp.asarray(lab),
+        "unk": jnp.zeros_like(jnp.asarray(lab)),
+        "segment_mask": jnp.zeros_like(jnp.asarray(lab)),
+        "volumes": jnp.zeros((B, 10), jnp.float32),
+        "diameters": jnp.zeros((B, 10, 3), jnp.float32),
+    }
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               batch["image"][:1], tx)
+    cfg = LossConfig(loss="dice", report_volume_loss_basic=0.0)
+
+    from rsuper_tpu.parallel.mesh import spatial_constraint
+    from rsuper_tpu.train.step import loss_fn
+
+    def grads_on(mesh, spatial):
+        @jax.jit
+        def g(params, batch):
+            if spatial:
+                batch = spatial_constraint(batch, mesh)
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, model, batch, LMAP, cfg,
+                spatial_mesh=mesh if spatial else None)
+            return loss, grads
+
+        return g(state.params, shard_batch(batch, mesh))
+
+    loss_s, grads_s = grads_on(mesh_s, True)
+    loss_d, grads_d = grads_on(mesh_d, False)
+    assert np.isclose(float(loss_s), float(loss_d), rtol=1e-5, atol=1e-6)
+    gmax = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        grads_s, grads_d)))
+    assert gmax < 5e-4, gmax
+
+    # the loop-level guard admits exactly this configuration at 128³…
+    assert 128 // 16 >= 2 * 4
+    # …and rejects 8-way spatial shards, which would hit 1 plane/shard
+    assert not (128 // 16 >= 2 * 8)
