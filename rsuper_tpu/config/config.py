@@ -55,6 +55,11 @@ class TrainConfig:
     # over an N-chip mesh `model` axis (activation memory / chip ÷ N; XLA
     # inserts conv halo exchanges). Disables Pallas kernels (ops/dispatch.py).
     spatial_shard: int = 1
+    # augment in the PrefetchLoader workers (numpy/scipy,
+    # data/host_augment.py) instead of on device — the reference's
+    # DataLoader-worker model: on a many-core TPU-VM host the augmentation
+    # overlaps with the train step instead of serialising with it on-chip
+    host_augment: bool = False
     # losses (see losses.dispatcher.LossConfig)
     loss: str = "ball_dice_last"
     aux_weight: Tuple[float, ...] = (0.5, 0.5)

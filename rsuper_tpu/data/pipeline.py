@@ -229,6 +229,7 @@ class PrefetchLoader:
         num_workers: int = 4,
         prefetch: int = 4,
         seed: int = 0,
+        transform=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -236,6 +237,10 @@ class PrefetchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.seed = seed
+        # optional worker-side record transform (host augmentation —
+        # data/host_augment.make_host_augment); overlaps with device compute
+        # like the reference's DataLoader workers (train_ddp.py:114)
+        self.transform = transform
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n_batches = len(self.indices) // self.batch_size
@@ -259,11 +264,15 @@ class PrefetchLoader:
                 bi, idx = job
                 try:
                     rec = to_channels_last(self.dataset.sample(idx, rng))
+                    if self.transform is not None:
+                        rec = self.transform(rec, rng)
                     results.put((bi, rec))
                 except Exception as e:  # degrade like the reference (:421-433)
                     try:
                         idx2 = int(rng.integers(len(self.dataset)))
                         rec = to_channels_last(self.dataset.sample(idx2, rng))
+                        if self.transform is not None:
+                            rec = self.transform(rec, rng)
                         results.put((bi, rec))
                     except Exception:
                         results.put((bi, e))

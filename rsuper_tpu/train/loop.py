@@ -206,9 +206,21 @@ def train(
     is_2d = cfg.dimension == "2d" or (
         cfg.dimension == "auto" and len(cfg.training_size) == 2
     )
+    host_transform = None
     if is_2d:
         # 2D slices are augmented on host (data/dataset2d.py); no device pass
         augment_fn = None
+    elif cfg.host_augment:
+        # reference-style worker augmentation (overlaps with device compute)
+        from ..data.host_augment import make_host_augment
+
+        augment_fn = None
+        host_transform = make_host_augment(
+            tuple(cfg.training_size), scale=tuple(cfg.scale),
+            rotate=tuple(cfg.rotate), translate=tuple(cfg.translate),
+            out_dtype=np.dtype(dtype) if dtype != jnp.bfloat16
+            else jnp.bfloat16,
+        )
     else:
         augment_fn = build_augment_step(
             mesh, crop_size=tuple(cfg.training_size), scale=tuple(cfg.scale),
@@ -229,7 +241,7 @@ def train(
     for epoch in range(start_epoch, cfg.epochs):
         loader = PrefetchLoader(
             dataset, local_bs, epoch_indices(epoch),
-            num_workers=cfg.num_workers,
+            num_workers=cfg.num_workers, transform=host_transform,
         )
         loss_meter = AverageMeter("loss")
         t_meter = AverageMeter("s/it")

@@ -578,3 +578,70 @@ def test_native_nifti_decode_matches_numpy(tmp_path):
     np.testing.assert_allclose(flat, np.arange(6) * 2.0 - 1.0)
     # unsupported dtype code -> None (caller falls back)
     assert native_io.nifti_scale_cast_f32(raw, 0, 999, 6, 1.0, 0.0) is None
+
+
+def test_host_augment_matches_device_affine():
+    """`data/host_augment.py` (the reference-parity CPU-worker augmentation
+    mode) must sample the exact same affine: theta-for-theta, the scipy
+    window resample equals `augment.affine_sample_window` (same align-
+    corners coords, same trilinear/nearest), and the f64 mask packing is
+    exact for 48 channels."""
+    import jax.numpy as jnp
+
+    from rsuper_tpu.data import host_augment as H
+    from rsuper_tpu.data.augment import affine_sample_window
+
+    rng = np.random.default_rng(3)
+    vol = rng.normal(size=(40, 44, 44)).astype(np.float32)
+    theta = H._theta_np(rng, (0.1, 0.1, 0.1), (30.0, 30.0, 30.0),
+                        (0.05, 0.05, 0.05))
+    out_size, start = (24, 24, 24), (8, 10, 10)
+    got = H.affine_window_np(vol, theta, out_size, start, order=1)
+    want = np.asarray(affine_sample_window(
+        jnp.asarray(vol), jnp.asarray(theta), out_size, start, order=1))
+    assert np.max(np.abs(got - want)) < 2e-4, np.max(np.abs(got - want))
+
+    # f64 mask packing is exact for 48 channels (jax can't check this side —
+    # x64 is disabled, so the device path packs 24-bit f32 words instead)
+    masks = (rng.random(size=(40, 44, 44, 48)) > 0.8).astype(np.float32)
+    packed = H._pack_f64(masks)
+    assert np.array_equal(H._unpack_f64(packed, 48), masks)
+    # nearest-neighbour index choice matches the device path (small-int
+    # volume, exact in f32; only exact .5 coordinate boundaries may differ)
+    ids = (np.arange(40 * 44 * 44, dtype=np.float32) % 997).reshape(40, 44, 44)
+    got0 = H.affine_window_np(ids, theta, out_size, start, order=0)
+    want0 = np.asarray(affine_sample_window(
+        jnp.asarray(ids), jnp.asarray(theta), out_size, start, order=0))
+    eq = got0 == want0
+    assert eq.mean() > 0.999, eq.mean()
+
+
+def test_host_augment_transform_end_to_end():
+    from rsuper_tpu.data.host_augment import make_host_augment
+
+    rng = np.random.default_rng(0)
+    C = 5
+    rec = {
+        "image": rng.normal(size=(36, 40, 40, 1)).astype(np.float32),
+        "label": (rng.random(size=(36, 40, 40, C)) > 0.9).astype(np.float32),
+        "unk": np.zeros((36, 40, 40, C), np.float32),
+        "segment_mask": np.zeros((36, 40, 40, C), np.float32),
+        "volumes": np.zeros((10,), np.float32),
+        "diameters": np.zeros((10, 3), np.float32),
+        "apply_affine": np.ones((), np.float32),
+    }
+    t = make_host_augment((24, 24, 24), affine_prob=1.0, scale=(0.1,) * 3,
+                          rotate=(30.0,) * 3)
+    out = t(dict(rec), np.random.default_rng(1))
+    assert out["image"].shape == (24, 24, 24, 1)
+    assert out["label"].shape == (24, 24, 24, C)
+    assert "apply_affine" not in out
+    assert set(np.unique(out["label"])) <= {0.0, 1.0}
+    # apply_affine=0 records are never warped: center crop equals the source
+    rec0 = dict(rec)
+    rec0["apply_affine"] = np.zeros((), np.float32)
+    t0 = make_host_augment((24, 24, 24), affine_prob=1.0,
+                           intensity_prob=0.0)
+    out0 = t0(rec0, np.random.default_rng(2))
+    assert np.array_equal(out0["label"],
+                          rec["label"][6:30, 8:32, 8:32])

@@ -82,7 +82,8 @@ def main():
     ap.add_argument("--size", type=int, default=96)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--workers", type=int, default=4)
-    ap.add_argument("--augment", choices=("device", "off"), default="device")
+    ap.add_argument("--augment", choices=("device", "host", "off"),
+                    default="device")
     args = ap.parse_args()
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -130,15 +131,28 @@ def main():
     )
     step_fn = build_train_step(model, lmap, LossConfig(loss="ball_dice_last"))
     augment_fn = None
+    transform = None
     if args.augment == "device":
         augment_fn = build_augment_step(
             mesh, crop_size=crop, scale=(0.1, 0.1, 0.1),
             rotate=(30.0, 30.0, 30.0), out_dtype=jnp.bfloat16)
+    elif args.augment == "host":
+        from rsuper_tpu.data.host_augment import make_host_augment
+
+        transform = make_host_augment(crop, scale=(0.1, 0.1, 0.1),
+                                      rotate=(30.0, 30.0, 30.0),
+                                      out_dtype=jnp.bfloat16)
+    else:  # off: loader records are load_size — crop to the step's shape
+        from rsuper_tpu.data.host_augment import make_host_augment
+
+        transform = make_host_augment(crop, affine_prob=0.0,
+                                      intensity_prob=0.0,
+                                      out_dtype=jnp.bfloat16)
 
     total = args.warmup + args.steps
     indices = [i % len(dataset) for i in range(total * args.batch)]
     loader = PrefetchLoader(dataset, args.batch, indices,
-                            num_workers=args.workers)
+                            num_workers=args.workers, transform=transform)
     aug_key = jax.random.PRNGKey(1)
 
     n = 0
