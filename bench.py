@@ -46,14 +46,20 @@ CLASSES = [
 
 
 def smoke():
-    """Real-lowering gate for the Pallas kernels (VERDICT r2 weak #4).
+    """Real-lowering gate for the Pallas kernels.
 
     Interpret mode cannot catch Mosaic lowering failures (block-shape rules,
-    bf16 dot mis-lowering, scoped-VMEM overflows — CLAUDE.md has the list);
-    this compiles and runs every kernel mode on the REAL backend with tiny
-    shapes and checks numerics against the XLA path. Exits nonzero on any
-    failure so the round workflow can gate on it. Graphs are tiny and land in
-    the persistent compile cache, so re-runs are seconds.
+    bf16 dot mis-lowering, scoped-VMEM overflows - CLAUDE.md has the list).
+    Round 3's HAND-ENUMERATED shape list missed the real 128^3 model's
+    paired-conv signature and shipped a broken 128^3 (VERDICT r3 weak #1),
+    so the shape inventory is now TRACED from the actual MedFormer configs
+    at 96^3 and 128^3 (`ops/trace_shapes.py`): every pallas_call the
+    production graphs lower - forward and backward, post channel-chunking,
+    at the dispatch-picked TD/TH - replays on the REAL backend with numerics
+    checked against the XLA path. Exits nonzero on any failure. Graphs are
+    tiny and land in the persistent compile cache, so re-runs are seconds.
+
+    RSUPER_SMOKE_SIZES overrides the traced config sizes (comma-separated).
     """
     import numpy as np
 
@@ -70,119 +76,30 @@ def smoke():
             failures.append(name)
             print(f"smoke {name}: FAIL {type(e).__name__}: {e}", flush=True)
 
-    from rsuper_tpu.ops import conv_cf
+    from rsuper_tpu.ops import trace_shapes as ts
     from rsuper_tpu.ops.pallas_topn import pallas_topn_threshold_multi_batched
 
+    sizes = tuple(
+        int(s)
+        for s in os.environ.get("RSUPER_SMOKE_SIZES", "96,128").split(",")
+    )
+    sigs = ts.production_signatures(sizes=sizes)
+    # one replay covers a dwconv site's fwd+bwd (value_and_grad)
+    seen, replays = set(), []
+    for s in sigs:
+        k = ts.sig_key(s)
+        if s["op"] == "dwconv":
+            k = ("dwconv",) + k[2:]
+        if k not in seen:
+            seen.add(k)
+            replays.append((k, s))
+    print(f"smoke: {len(replays)} traced kernel signatures from sizes "
+          f"{sizes}", flush=True)
+    for k, s in replays:
+        name = "_".join(str(p) for p in k if p is not None)
+        check(name, lambda s=s: ts.replay_signature(s))
+
     rng = np.random.default_rng(0)
-
-    def conv_case(name, C, Co, S, dtype):
-        # (B, D, C, H, W) — the CF stages' depth-major channel-first layout
-        x = jnp.asarray(rng.normal(size=(1, S[0], C, S[1], S[2])), dtype)
-        w = jnp.asarray(rng.normal(size=(3, 3, 3, C, Co)) * 0.2, jnp.float32)
-
-        def run():
-            def f(x, w):
-                y = conv_cf.conv3x3x3_cf(x, w, force_pallas=True)
-                return jnp.sum(y.astype(jnp.float32) ** 2), y
-
-            (loss, y), (gx, gw) = jax.value_and_grad(
-                f, argnums=(0, 1), has_aux=True
-            )(x, w)
-            ref = conv_cf._conv3_cf_xla(x, w.astype(x.dtype))
-            ref32 = ref.astype(jnp.float32)
-            err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref32)))
-            scale = max(1.0, float(jnp.max(jnp.abs(ref32))))
-            # bf16 tolerance is relative: chunked outputs round to bf16 in
-            # the kernel (~1 ulp ≈ 0.4% each), and values grow with √(27·C)
-            tol = (0.02 if dtype == jnp.bfloat16 else 1e-4) * scale
-            assert err < tol, f"fwd mismatch {err} (scale {scale})"
-            assert np.isfinite(float(loss))
-            assert np.isfinite(float(jnp.sum(gx.astype(jnp.float32))))
-            assert np.isfinite(float(jnp.sum(gw)))
-
-        check(name, run)
-
-    # whole-plane concat mode (the 96³ stages)
-    conv_case("conv_cf_plane_bf16", 8, 8, (8, 32, 32), jnp.bfloat16)
-    # the decoder's 96³ concat-input conv (64ch -> 32ch): channels chunk to
-    # concat-capable sizes (plane-size-aware ceiling) — per-tap mode proved
-    # fragile against compiler scheduling (25-51M scoped VMEM observed)
-    conv_case("conv_cf_decoder_bf16", 64, 32, (4, 96, 96), jnp.bfloat16)
-    # H-tiled mode — the 128³ path (plane > 96², W 128-divisible)
-    conv_case("conv_cf_ht_bf16", 8, 8, (4, 128, 128), jnp.bfloat16)
-    # H-tiled + channel chunking (the decoder's 96-ch concat input at 128³)
-    conv_case("conv_cf_ht_chunked_bf16", 96, 32, (4, 128, 128), jnp.bfloat16)
-    # f32 plane past the f32 byte budget (4608 < S=8192 <= 9216): the gate
-    # admits it via the H-tiled clause, so the dispatch MUST H-tile it too —
-    # whole-plane f32 at this size retains >16M scoped VMEM (review r3 #2)
-    conv_case("conv_cf_ht_f32", 8, 8, (4, 64, 128), jnp.float32)
-
-    def fused_case(name, C, Co, S, dtype):
-        x = jnp.asarray(rng.normal(size=(1, S[0], C, S[1], S[2])), dtype)
-        w = jnp.asarray(rng.normal(size=(3, 3, 3, C, Co)) * 0.2, jnp.float32)
-
-        def run():
-            def f(x, w):
-                y = conv_cf.in_relu_conv3x3x3_cf(x, w, force_pallas=True)
-                return jnp.sum(y.astype(jnp.float32) ** 2), y
-
-            (loss, y), (gx, gw) = jax.value_and_grad(
-                f, argnums=(0, 1), has_aux=True
-            )(x, w)
-            ref = conv_cf._in_relu_conv_xla(x, w, 1e-4)
-            ref32 = ref.astype(jnp.float32)
-            err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref32)))
-            scale = max(1.0, float(jnp.max(jnp.abs(ref32))))
-            tol = (0.02 if dtype == jnp.bfloat16 else 1e-4) * scale
-            assert err < tol, f"fwd mismatch {err} (scale {scale})"
-            assert np.isfinite(float(loss))
-            assert np.isfinite(float(jnp.sum(gx.astype(jnp.float32))))
-            assert np.isfinite(float(jnp.sum(gw)))
-
-        check(name, run)
-
-    # fused IN+relu epilogue: whole-plane (full-res 96³ stage shape),
-    # H-tiled (128³), and the chunked decoder concat input
-    fused_case("fused_in_relu_plane_bf16", 8, 8, (8, 32, 32), jnp.bfloat16)
-    fused_case("fused_in_relu_ht_bf16", 8, 8, (4, 128, 128), jnp.bfloat16)
-    fused_case("fused_in_relu_chunked_bf16", 64, 32, (4, 96, 96), jnp.bfloat16)
-    # paired conv+shortcut (BasicBlockCF stacks both weights along C_out):
-    # the UpBlockMF_3 (96->64 @ 96²), UpBlockMF_2 (192->128 @ 48²) and the
-    # 128³ H-tiled variant of the first
-    fused_case("fused_pair_96_bf16", 96, 64, (4, 96, 96), jnp.bfloat16)
-    fused_case("fused_pair_48_bf16", 192, 128, (4, 48, 48), jnp.bfloat16)
-    fused_case("fused_pair_ht_bf16", 96, 64, (4, 128, 128), jnp.bfloat16)
-
-    from rsuper_tpu.ops import dwconv
-
-    def dw_case(name, C, S, dtype):
-        x = jnp.asarray(rng.normal(size=(1, S[0], S[1], S[2], C)), dtype)
-        w = jnp.asarray(rng.normal(size=(3, 3, 3, 1, C)) * 0.2, jnp.float32)
-
-        def run():
-            def f(x, w):
-                y = dwconv.depthwise_conv3x3x3(x, w, force_pallas=True)
-                return jnp.sum(y.astype(jnp.float32) ** 2), y
-
-            (loss, y), (gx, gw) = jax.value_and_grad(
-                f, argnums=(0, 1), has_aux=True
-            )(x, w)
-            ref = dwconv._dw_xla(x, w).astype(jnp.float32)
-            err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - ref)))
-            scale = max(1.0, float(jnp.max(jnp.abs(ref))))
-            tol = (0.02 if dtype == jnp.bfloat16 else 1e-4) * scale
-            assert err < tol, f"fwd mismatch {err} (scale {scale})"
-            assert np.isfinite(float(loss))
-            assert np.isfinite(float(jnp.sum(gx.astype(jnp.float32))))
-            assert np.isfinite(float(jnp.sum(gw)))
-
-        check(name, run)
-
-    # the MedFormer depthwise sites (MBConv FF + patch-merging reduction):
-    # C in {256, 512, 1024} — tiny spatial stand-ins for 48^3/24^3/12^3
-    dw_case("dwconv_256_bf16", 256, (4, 8, 8), jnp.bfloat16)
-    dw_case("dwconv_512_bf16", 512, (3, 8, 8), jnp.bfloat16)
-    dw_case("dwconv_1024_f32", 1024, (3, 8, 8), jnp.float32)
 
     def topn():
         x = jnp.asarray(rng.normal(size=(2, 4096)), jnp.float32)

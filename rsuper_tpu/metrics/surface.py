@@ -47,3 +47,22 @@ def hausdorff95(pred, target, sampling=(1.0, 1.0, 1.0)) -> float:
     d_pt, d_tp = surface_distances(pred, target, sampling)
     h = max(np.percentile(d_pt, 95), np.percentile(d_tp, 95))
     return float(min(h, MAX_DISTANCE))
+
+
+def normalized_surface_dice(pred, target, tolerance: float = 1.0,
+                            sampling=(1.0, 1.0, 1.0)) -> float:
+    """NSD @ tolerance (mm): fraction of both masks' surface points lying
+    within `tolerance` of the other mask's surface — the DeepMind
+    surface-dice definition the reference's vendored library computes
+    (``rsuper_train/metric/metrics.py`` compute_surface_dice_at_tolerance),
+    on the EDT formulation. Both-empty masks score 1.0; one-empty scores
+    0.0 (no surface within any finite tolerance)."""
+    p = np.asarray(pred).astype(bool)
+    t = np.asarray(target).astype(bool)
+    if not p.any() and not t.any():
+        return 1.0
+    if not p.any() or not t.any():
+        return 0.0
+    d_pt, d_tp = surface_distances(p, t, sampling)
+    ok = float((d_pt <= tolerance).sum() + (d_tp <= tolerance).sum())
+    return ok / float(d_pt.size + d_tp.size)

@@ -238,7 +238,7 @@ def evaluate(model, params, root: str, crop: int = 32):
     from rsuper_tpu.eval.detection import detect_volume_from_mask
     from rsuper_tpu.eval.sens_spec import sensitivity_specificity_f1
     from rsuper_tpu.inference import sliding_window_inference
-    from rsuper_tpu.metrics import dice_score
+    from rsuper_tpu.metrics import dice_score, normalized_surface_dice
 
     test_dir = os.path.join(root, "test_npz")
     gt = pd.read_csv(os.path.join(root, "test_gt.csv")).set_index("BDMAP_ID")
@@ -248,7 +248,7 @@ def evaluate(model, params, root: str, crop: int = 32):
         out = model.apply(p, x)["segmentation"]
         return out[0] if isinstance(out, (list, tuple)) else out
 
-    dices, vols, labels_gt = [], [], []
+    dices, nsds, vols, labels_gt = [], [], [], []
     for f in sorted(os.listdir(test_dir)):
         if not f.endswith(".npz"):
             continue
@@ -264,6 +264,8 @@ def evaluate(model, params, root: str, crop: int = 32):
         labels_gt.append(1.0 if has_gt else 0.0)
         if has_gt:
             dices.append(dice_score(pred, labels[li] > 0))
+            nsds.append(normalized_surface_dice(pred, labels[li] > 0,
+                                                tolerance=1.5))
 
     vols = np.asarray(vols)
     labels_gt = np.asarray(labels_gt)
@@ -274,6 +276,7 @@ def evaluate(model, params, root: str, crop: int = 32):
             best = {**m, "volume_threshold": th}
     return {
         "lesion_dice": float(np.mean(dices)) if dices else 0.0,
+        "lesion_nsd": float(np.mean(nsds)) if nsds else 0.0,
         "sensitivity": best["sens"], "specificity": best["spec"],
         "f1": best["f1"], "volume_threshold": best["volume_threshold"],
         "cases": len(vols),
@@ -361,15 +364,17 @@ def main(argv=None):
 
     gains = {
         k: np.array([r["report"][k] - r["mask_only"][k] for r in per_seed])
-        for k in ("lesion_dice", "f1", "sensitivity")
+        for k in ("lesion_dice", "lesion_nsd", "f1", "sensitivity")
     }
     summary = {
         "metric": "phantom_report_vs_mask_only",
         "seeds": args.seeds,
         "mask_only": {k: agg("mask_only", k)
-                      for k in ("lesion_dice", "f1", "sensitivity")},
+                      for k in ("lesion_dice", "lesion_nsd", "f1",
+                                "sensitivity")},
         "report": {k: agg("report", k)
-                   for k in ("lesion_dice", "f1", "sensitivity")},
+                   for k in ("lesion_dice", "lesion_nsd", "f1",
+                             "sensitivity")},
         # paired per-seed gains: both arms share each seed's data, so the
         # data-draw variance cancels and the supervision effect remains
         "paired_gain": {
