@@ -20,7 +20,33 @@ def main(argv=None):
     p.add_argument("--prefix", default="BDMAP")
     p.add_argument("--apply", action="store_true", help="actually rename")
     p.add_argument("--mapping_csv", default="bdmap_mapping.csv")
+    p.add_argument(
+        "--replace_prefix", default=None, metavar="SRC",
+        help="PanTS-cohort mode (reference rename_pants.py): rename "
+             "immediate SUBFOLDERS whose name starts with SRC to start "
+             "with --prefix instead (non-recursive; skips existing targets)",
+    )
     args = p.parse_args(argv)
+
+    if args.replace_prefix:
+        renamed = skipped = 0
+        for name in sorted(os.listdir(args.input_dir)):
+            src = os.path.join(args.input_dir, name)
+            if not os.path.isdir(src) or not name.startswith(args.replace_prefix):
+                continue
+            new = args.prefix + name[len(args.replace_prefix):]
+            dst = os.path.join(args.input_dir, new)
+            if os.path.exists(dst):
+                print(f"[skip exists] {name} -> {new}")
+                skipped += 1
+                continue
+            if args.apply:
+                os.rename(src, dst)
+            renamed += 1
+            print(f"[{'renamed' if args.apply else 'dry-run'}] {name} -> {new}")
+        print(f"{'renamed' if args.apply else 'planned'} {renamed} folders, "
+              f"{skipped} skipped")
+        return
 
     files = sorted(
         f for f in os.listdir(args.input_dir)
