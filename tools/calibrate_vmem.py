@@ -187,16 +187,51 @@ def emit():
     print(f"wrote {TABLE} with {len(caps)} entries")
 
 
+def check(sizes):
+    """Post-emit validation: re-trace the production configs with the live
+    table and confirm every whole-plane pick is hardware-measured-good (the
+    exact (key, td) cell has ok=true). Exits nonzero otherwise."""
+    import importlib
+
+    from rsuper_tpu.ops import vmem_table
+    importlib.reload(vmem_table)
+    from rsuper_tpu.ops import trace_shapes as ts
+
+    done = load_done()
+    sigs = ts.production_signatures(sizes=sizes)
+    bad = []
+    for s in sigs:
+        if s["op"] != "conv_cf" or s["mode"] != "plane":
+            continue
+        key = (s["kind"], s["H"] * s["W"], s["Ci"], s["Co"], s["itemsize"],
+               bool(s["fused"]))
+        cell = ("plane",) + key + (s["td"],)
+        rec = done.get(cell)
+        if rec is None or not rec["ok"]:
+            bad.append((key, s["td"], None if rec is None else rec["ok"]))
+    for b in bad:
+        print("UNMEASURED OR FAILING PICK:", b)
+    print(f"checked {len(sigs)} signatures; {len(bad)} bad picks")
+    if bad:
+        raise SystemExit(1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--emit", action="store_true",
                     help="regenerate ops/vmem_table.py from measurements")
+    ap.add_argument("--check", action="store_true",
+                    help="verify every production pick is measured-good")
     ap.add_argument("--sizes", default="96,128")
     args = ap.parse_args()
+    sizes = tuple(int(s) for s in args.sizes.split(","))
     if args.emit:
         emit()
         return
-    measure(tuple(int(s) for s in args.sizes.split(",")))
+    if args.check:
+        check(sizes)
+        return
+    measure(sizes)
 
 
 if __name__ == "__main__":
