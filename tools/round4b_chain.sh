@@ -39,4 +39,5 @@ run bench128 3600 env RSUPER_BENCH_SIZE=128 python bench.py
 run infer 3600 python bench_infer.py
 run loop_device 5400 python tools/bench_loop.py
 run profile96 3600 env PROFILE_DIR=/root/repo/artifacts/profile_r4b python tools/profile_step.py
+run profile_infer 3600 env PROFILE_DIR=/root/repo/artifacts/profile_infer python tools/profile_infer.py
 echo "CHAIN-4B DONE $(date +%H:%M:%S)"
