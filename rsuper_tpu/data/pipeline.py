@@ -62,6 +62,44 @@ def _unpack_bits(w, C):
     return jnp.stack(outs, axis=-1)
 
 
+def _bytes_to_words(packed_u8):
+    """(..., W8) little-bitorder packed BYTES → (..., ceil(8·W8/24)) f32
+    words in `_pack_bits`'s LSB-first 24-bit layout (byte k of a 3-byte
+    group lands at bits 8k..8k+7, so host `np.packbits(bitorder='little')`
+    channel j maps to bit j%24 of word j//24 — exactly `_pack_bits`)."""
+    W8 = packed_u8.shape[-1]
+    b = packed_u8.astype(jnp.float32)
+    words = []
+    for s in range(0, W8, 3):
+        chunk = b[..., s : s + 3]
+        pows = 256.0 ** jnp.arange(chunk.shape[-1], dtype=jnp.float32)
+        words.append(jnp.sum(chunk * pows, axis=-1))
+    return jnp.stack(words, axis=-1)
+
+
+def pack_record_masks(rec, image_dtype=np.float16):
+    """Host-side transfer packing: the three one-hot mask stacks (3·C binary
+    uint8 channels) become one ``np.packbits`` byte plane (8× fewer bytes),
+    and the float32 image narrows to `image_dtype` (f16 by default — the
+    augment pass upcasts to f32 before interpolating, and the model consumes
+    bf16, which is coarser than f16). At 16 classes / 140³ load size this
+    cuts the per-record H2D payload from ~143 MB to ~22 MB — through the
+    remote-relay link that is the difference between 0.43 and >2 patches/s
+    end-to-end (driver round-4 `exp_loop_device.log`; the reference never
+    pays this because its DataLoader workers feed a local PCIe GPU,
+    ``train_ddp.py:114``)."""
+    rec = dict(rec)
+    m = np.concatenate(
+        [rec.pop("label"), rec.pop("unk"), rec.pop("segment_mask")], axis=-1
+    )
+    rec["masks_packed"] = np.packbits(
+        m.astype(np.uint8), axis=-1, bitorder="little"
+    )
+    if image_dtype is not None:
+        rec["image"] = np.asarray(rec["image"]).astype(image_dtype)
+    return rec
+
+
 def _augment_items(
     batch: Dict[str, jnp.ndarray],
     keys,
@@ -72,6 +110,7 @@ def _augment_items(
     translate,
     intensity_prob: float,
     out_dtype=jnp.float32,
+    num_classes=None,
 ):
     """Per-item augmentation over the leading (local) batch axis.
 
@@ -81,23 +120,38 @@ def _augment_items(
     * centre-crop from the margined load size down to `crop_size`;
     * the 6-op intensity stack (p=0.3 each, reference :493-507).
 
-    TPU notes: the 3·C binary mask channels are bit-packed into float words
-    before the nearest-neighbour affine gather (24× less gather traffic — the
-    unpacked version costs more than the whole train step), and items run
-    under ``lax.map`` so un-warped records truly skip the gathers.
+    TPU notes: the 3·C binary mask channels ride as bit-packed float words
+    through the whole pass — from either the host's ``masks_packed`` byte
+    plane (preferred: 8× less H2D traffic, `pack_record_masks`, requires
+    `num_classes`) or packed on device from the one-hot stacks — so the
+    nearest-neighbour affine gather touches 24× fewer elements (the unpacked
+    version costs more than the whole train step), unpacking once after the
+    warp/crop cond. Items run under ``lax.map`` so un-warped records truly
+    skip the gathers.
     """
     B = batch["image"].shape[0]
+    if "masks_packed" in batch:
+        if num_classes is None:
+            raise ValueError("packed batches need a static num_classes")
+        C = num_classes
+        words = _bytes_to_words(batch["masks_packed"])
+    else:
+        C = batch["label"].shape[-1]
+        masks = jnp.concatenate(
+            [batch["label"], batch["unk"], batch["segment_mask"]], axis=-1
+        ).astype(jnp.float32)
+        words = _pack_bits(masks)
+    C3 = 3 * C
 
     def one(args):
-        img, lab, unk, seg, flag, k = args
+        img, w, flag, k = args
         k_aff, k_coin, k_int = jax.random.split(k, 3)
         theta = _affine_theta(k_aff, scale, rotate, translate, (0.0, 0.0, 0.0))
         coin = jax.random.uniform(k_coin) < affine_prob
         do_aff = (flag > 0) & coin
 
-        img3 = img[..., 0]
-        masks = jnp.concatenate([lab, unk, seg], axis=-1)
-        C3 = masks.shape[-1]
+        # f16/bf16 transfer images upcast before any interpolation
+        img3 = img[..., 0].astype(jnp.float32)
         # sample ONLY the centre crop window of the affine output grid —
         # identical values to warp-full-then-center_crop (same coordinates),
         # but 2.4x fewer gathers at the margined load shapes (augment.py
@@ -107,32 +161,29 @@ def _augment_items(
         )
 
         def warp(operands):
-            img3, masks = operands
-            packed = _pack_bits(masks)
+            img3, w = operands
             if _FULLWARP:  # A/B: the pre-round-3 full-volume warp graph
-                img_a = center_crop(affine_sample(img3, theta, order=1),
-                                    crop_size)
-                packed_a = center_crop(
-                    affine_sample(packed, theta, order=0), crop_size)
-            else:
-                img_a = affine_sample_window(img3, theta, crop_size, starts,
-                                             order=1)
-                packed_a = affine_sample_window(packed, theta, crop_size,
-                                                starts, order=0)
-            return img_a, _unpack_bits(packed_a, C3)
+                return (
+                    center_crop(affine_sample(img3, theta, order=1),
+                                crop_size),
+                    center_crop(affine_sample(w, theta, order=0), crop_size),
+                )
+            return (
+                affine_sample_window(img3, theta, crop_size, starts, order=1),
+                affine_sample_window(w, theta, crop_size, starts, order=0),
+            )
 
         def nowarp(operands):
-            img3, masks = operands
-            return center_crop(img3, crop_size), center_crop(masks, crop_size)
+            img3, w = operands
+            return center_crop(img3, crop_size), center_crop(w, crop_size)
 
-        img3, masks = jax.lax.cond(do_aff, warp, nowarp, (img3, masks))
+        img3, w = jax.lax.cond(do_aff, warp, nowarp, (img3, w))
         img3 = intensity_augment(img3, k_int, p=intensity_prob)
-        C = lab.shape[-1]
         # binary masks are exact in bf16; the image feeds a bf16 model anyway
         # — emitting the training dtype halves the step's input footprint
         # (closes the 290 MB HBM gap at 128³ with remat off; docs/perf.md)
         img3 = img3.astype(out_dtype)
-        masks = masks.astype(out_dtype)
+        masks = _unpack_bits(w, C3).astype(out_dtype)
         return (img3[..., None], masks[..., :C], masks[..., C : 2 * C],
                 masks[..., 2 * C :])
 
@@ -140,21 +191,22 @@ def _augment_items(
         one,
         (
             batch["image"],
-            batch["label"].astype(jnp.float32),
-            batch["unk"].astype(jnp.float32),
-            batch["segment_mask"].astype(jnp.float32),
+            words,
             batch.get("apply_affine", jnp.ones((B,), jnp.float32)),
             keys,
         ),
     )
-    out = dict(batch)
+    out = {
+        k: v for k, v in batch.items()
+        if k not in ("masks_packed", "apply_affine")
+    }
     out.update(image=img, label=lab, unk=unk, segment_mask=seg)
-    out.pop("apply_affine", None)
     return out
 
 
 @partial(jax.jit, static_argnames=("crop_size", "affine_prob", "scale", "rotate",
-                                   "translate", "intensity_prob", "out_dtype"))
+                                   "translate", "intensity_prob", "out_dtype",
+                                   "num_classes"))
 def device_augment(
     batch: Dict[str, jnp.ndarray],
     key,
@@ -165,13 +217,14 @@ def device_augment(
     translate=(0.0, 0.0, 0.0),
     intensity_prob: float = 0.3,
     out_dtype=jnp.float32,
+    num_classes=None,
 ):
     """Single-device batched augmentation (see `_augment_items`). For a
     multi-device mesh use `build_augment_step`, which keeps the data-axis
     sharding instead of replicating through ``lax.map``."""
     keys = jax.random.split(key, batch["image"].shape[0])
     return _augment_items(batch, keys, crop_size, affine_prob, scale, rotate,
-                          translate, intensity_prob, out_dtype)
+                          translate, intensity_prob, out_dtype, num_classes)
 
 
 def build_augment_step(
@@ -183,6 +236,7 @@ def build_augment_step(
     translate=(0.0, 0.0, 0.0),
     intensity_prob: float = 0.3,
     out_dtype=jnp.float32,
+    num_classes=None,
 ):
     """Returns ``augment(batch, keys) -> batch`` jitted over `mesh` with every
     array sharded on the data axis in AND out — the train loop does one
@@ -204,7 +258,8 @@ def build_augment_step(
 
     def local_augment(batch, keys):
         return _augment_items(batch, keys, crop_size, affine_prob, scale,
-                              rotate, translate, intensity_prob, out_dtype)
+                              rotate, translate, intensity_prob, out_dtype,
+                              num_classes)
 
     sharded = shard_map(
         local_augment,
@@ -230,6 +285,8 @@ class PrefetchLoader:
         prefetch: int = 4,
         seed: int = 0,
         transform=None,
+        pack_masks: bool = False,
+        image_transfer_dtype=np.float16,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -241,6 +298,11 @@ class PrefetchLoader:
         # data/host_augment.make_host_augment); overlaps with device compute
         # like the reference's DataLoader workers (train_ddp.py:114)
         self.transform = transform
+        # pack_masks: emit `masks_packed` bytes instead of the three one-hot
+        # stacks (pack_record_masks) — the consumer must be a device-augment
+        # step built with num_classes. ~6.5× less H2D per step.
+        self.pack_masks = pack_masks
+        self.image_transfer_dtype = image_transfer_dtype
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n_batches = len(self.indices) // self.batch_size
@@ -266,6 +328,8 @@ class PrefetchLoader:
                     rec = to_channels_last(self.dataset.sample(idx, rng))
                     if self.transform is not None:
                         rec = self.transform(rec, rng)
+                    if self.pack_masks:
+                        rec = pack_record_masks(rec, self.image_transfer_dtype)
                     results.put((bi, rec))
                 except Exception as e:  # degrade like the reference (:421-433)
                     try:
@@ -273,6 +337,9 @@ class PrefetchLoader:
                         rec = to_channels_last(self.dataset.sample(idx2, rng))
                         if self.transform is not None:
                             rec = self.transform(rec, rng)
+                        if self.pack_masks:
+                            rec = pack_record_masks(rec,
+                                                    self.image_transfer_dtype)
                         results.put((bi, rec))
                     except Exception:
                         results.put((bi, e))

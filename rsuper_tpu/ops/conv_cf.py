@@ -13,17 +13,37 @@ MXU contraction runs over ``3·C_in`` (kw-unrolled).
 Shape story: operands live in depth-major channel-first (B, D, C, H, W)
 layout — the (B, D, C, H·W) view the kernels consume is then a FREE reshape
 (the original (B, C, D, H, W) layout paid ~5 ms/step of transpose copies at
-96³). The grid is one (batch, depth-row) program per step; the three depth taps arrive as separate halo refs (kd−1, kd, kd+1,
-edge-clamped and masked to zero); kh taps are ±W lane shifts (zero-filled at
-the top/bottom rows by construction); kw taps are ±1 lane shifts with the
-wrapped w-edge column masked via an iota-mod-W predicate. Every dot is a
-strictly 2D (C_out, 3·C_in) × (3·C_in, H·W) MXU matmul with f32 accumulation
-— Mosaic supports nothing fancier (multi-dim dot operands fail with
-"unsupported shape cast", observed on v5e).
+96³). The grid is one (batch, depth-row) program per step; the three depth
+taps arrive as separate halo refs (kd−1, kd, kd+1, edge-clamped and masked
+to zero); kh taps are ±W lane shifts (zero-filled at the top/bottom rows by
+construction); kw taps are ±1 lane shifts with the wrapped w-edge column
+masked via an iota-mod-W predicate. Every dot is a strictly 2D MXU matmul
+with f32 accumulation — Mosaic supports nothing fancier (multi-dim dot
+operands fail with "unsupported shape cast", observed on v5e).
+
+Two dot formulations, selected PER SIGNATURE by hardware calibration
+(`tools/calibrate_vmem.py` → `ops/vmem_table.py`):
+
+- **"a" (per-tap)**: 9 dots per depth row of (C_out, 3·C_in) × (3·C_in, S),
+  one per (kd, kh) tap. Smallest live set — the only formulation that fits
+  the largest whole-plane working sets (the (3·C_out, S) f32 dot output of
+  "d" alone is 7 MB at S = 96², C_out = 64).
+- **"d" (kh-stacked M)**: each depth tap runs ONE dot of
+  (3·C_out, 3·C_in) × (3·C_in, S) with the 3 kh weight rows stacked along
+  M, then the kh sum is applied as ±W lane shifts of the OUTPUT slices (the
+  shift commutes with the channel contraction, so shifting z after the dot
+  equals shifting the input rows before it — verified bit-exact against
+  lax.conv_general_dilated in interpret mode). At the dominant
+  full-resolution stages (C_out 32–64) this triples the MXU sublane
+  occupancy (M = 96–192 of 128-row tiles vs 32–64) and cuts 9 dots/row
+  to 3 — but holds a 3× larger f32 dot output live, so VMEM decides where
+  it is usable; the calibrator times both and records the faster.
 
 The backward pass is two more kernels: ``dx = conv(dy, flip(w)ᵀ)`` (the same
-forward kernel) and a wgrad kernel accumulating ``dw[kd,kh] += dy ⋅ patchᵀ``
-across the sequential TPU grid.
+forward kernel) and a wgrad kernel accumulating ``dw[kd, kh] += dy ⋅ patchᵀ``
+("a") or, per depth tap, ``dw[kd] += stack_kh(shift_h(dy, 2−kh)) ⋅ patchᵀ``
+("d" — the adjoint of the forward's output shift is the reversed shift of
+dy) across the sequential TPU grid.
 
 Non-TPU backends dispatch to ``lax.conv_general_dilated`` with NCDHW
 dimension numbers (same math; CPU tests run the XLA path, and the Pallas
@@ -50,9 +70,11 @@ from . import dispatch
 # None in production; zero overhead.
 _trace_hook = None
 
-# Calibration override: forces _pick_td's return value so
-# tools/calibrate_vmem.py can measure each (signature, TD) cell on hardware.
+# Calibration overrides: force the depth-tile / dot-formulation picks so
+# tools/calibrate_vmem.py can measure each (signature, form, TD) cell on
+# hardware.
 _td_override = None
+_form_override = None
 
 
 def _emit_trace(**sig):
@@ -94,11 +116,10 @@ def _shift_h(x, k, W):
     return jnp.concatenate([x[:, W:], zeros], axis=1)
 
 
-def _make_patch(rows, kd, kh, W):
-    """(3·C_in, S) kw-stacked patch for tap (kd, kh) from the three depth
-    rows."""
-    xk = _shift_h(rows[kd], kh, W)
-    return jnp.concatenate([_shift_w(xk, kw, W) for kw in range(3)], axis=0)
+def _kw_patch(row, W):
+    """(3·C, S) kw-stacked patch of one depth row: the kw taps of the
+    contraction stacked along K so a single dot contracts 3·C_in."""
+    return jnp.concatenate([_shift_w(row, kw, W) for kw in range(3)], axis=0)
 
 
 def _norm_relu_row(row, st_ref):
@@ -164,7 +185,7 @@ def _fwd_kernel(W: int, concat_kw: bool, TD: int, fuse: bool, *args):
         for kd in range(3):
             for kh in range(3):
                 if concat_kw:
-                    patch = _make_patch(rows, kd, kh, W)
+                    patch = _kw_patch(_shift_h(rows[kd], kh, W), W)
                     part = jax.lax.dot_general(
                         w_ref[kd, kh],
                         patch,
@@ -213,7 +234,7 @@ def _wgrad_kernel(W: int, concat_kw: bool, TD: int, fuse: bool, *args):
         for kd in range(3):
             for kh in range(3):
                 if concat_kw:
-                    patch = _make_patch(rows, kd, kh, W)
+                    patch = _kw_patch(_shift_h(rows[kd], kh, W), W)
                     part = jax.lax.dot_general(
                         dy,
                         patch,
@@ -234,6 +255,66 @@ def _wgrad_kernel(W: int, concat_kw: bool, TD: int, fuse: bool, *args):
                         dw_ref[kd, kh, :, kw * Ci : (kw + 1) * Ci] += (
                             part * valids[kd]
                         )
+
+
+def _fwd_kernel_d(W: int, Co: int, TD: int, fuse: bool, *args):
+    """Formulation-"d" whole-plane forward: one (3·C_out, 3·C_in) × (3·C_in,
+    S) dot per depth tap (kh weight rows stacked along M), kh sum applied as
+    ±W lane shifts of the dot-output slices (exact at whole planes: the
+    shift's zero fill lands on the h-edge rows). 3 dots/row at 3× the MXU
+    sublane occupancy of formulation "a"."""
+    if fuse:
+        xp_ref, xm_ref, xn_ref, st_ref, w_ref, y_ref = args
+    else:
+        xp_ref, xm_ref, xn_ref, w_ref, y_ref = args
+        st_ref = None
+    for t in range(TD):
+        rows, valids = _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t, TD,
+                                             st_ref)
+        acc = None
+        for kd in range(3):
+            patch = _kw_patch(rows[kd], W)
+            z = jax.lax.dot_general(
+                w_ref[kd], patch,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * valids[kd]  # (3·Co, S)
+            for kh in range(3):
+                part = _shift_h(z[kh * Co:(kh + 1) * Co], kh, W)
+                acc = part if acc is None else acc + part
+        y_ref[0, t] = acc.astype(y_ref.dtype)
+
+
+def _wgrad_kernel_d(W: int, Co: int, TD: int, fuse: bool, *args):
+    """Formulation-"d" whole-plane wgrad: the adjoint of the forward's
+    output shift is the REVERSED shift of dy, so stacking
+    ``shift_h(dy, 2−kh)`` along M gives the same kh-stacked
+    (3·C_out, 3·C_in) dot shape — one dot per depth tap."""
+    if fuse:
+        xp_ref, xm_ref, xn_ref, st_ref, dy_ref, dw_ref = args
+    else:
+        xp_ref, xm_ref, xn_ref, dy_ref, dw_ref = args
+        st_ref = None
+    b = pl.program_id(0)
+
+    @pl.when((b == 0) & (pl.program_id(1) == 0))
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    for t in range(TD):
+        rows, valids = _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t, TD,
+                                             st_ref)
+        dy = dy_ref[0, t]  # (Co, S)
+        dY = jnp.concatenate(
+            [_shift_h(dy, 2 - kh, W) for kh in range(3)], axis=0)  # (3·Co, S)
+        for kd in range(3):
+            patch = _kw_patch(rows[kd], W)
+            part = jax.lax.dot_general(
+                dY, patch,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (3·Co, 3·Ci)
+            dw_ref[kd] += part * valids[kd]
 
 
 def _shift_h_ht(body, hp, hn, k: int, W: int):
@@ -340,6 +421,89 @@ def _wgrad_kernel_ht(W: int, fuse: bool, *args):
             dw_ref[kd, kh] += part * valids[kd]
 
 
+def _fwd_kernel_ht_d(W: int, Co: int, fuse: bool, *args):
+    """Formulation-"d" H-tiled forward: the dot runs over the h-EXTENDED
+    tile (halo row + body + halo row, (TH+2)·W lanes), and each kh output
+    slice of the (3·C_out, (TH+2)·W) dot result is read at its kh-shifted
+    lane window — no separate input shift per tap."""
+    if fuse:
+        *refs, st_ref, w_ref, y_ref = args
+    else:
+        *refs, w_ref, y_ref = args
+        st_ref = None
+    d, nd = pl.program_id(1), pl.num_programs(1)
+    h, nh = pl.program_id(2), pl.num_programs(2)
+    bodies, hps, hns = _ht_rows(refs, h, nh, st_ref)
+    valids = _depth_valids(d, nd)
+    THW = bodies[0].shape[-1]
+    acc = None
+    for kd in range(3):
+        ext = jnp.concatenate([hps[kd], bodies[kd], hns[kd]], axis=1)
+        patch = _kw_patch(ext, W)  # (3·Ci, (TH+2)·W)
+        z = jax.lax.dot_general(
+            w_ref[kd], patch,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * valids[kd]  # (3·Co, (TH+2)·W)
+        for kh in range(3):
+            part = z[kh * Co:(kh + 1) * Co, kh * W: kh * W + THW]
+            acc = part if acc is None else acc + part
+    y_ref[0, 0] = acc.astype(y_ref.dtype)
+
+
+def _wgrad_kernel_ht_d(W: int, Co: int, fuse: bool, *args):
+    """Formulation-"d" H-tiled wgrad. Shifting dy (the adjoint side) instead
+    of x means x needs NO h-halo refs at all — dy brings its own single-row
+    halos — so this kernel's input working set is smaller than "a"'s."""
+    if fuse:
+        xp, xm, xn, st_ref, dyb, dyp, dyn, dw_ref = args
+    else:
+        xp, xm, xn, dyb, dyp, dyn, dw_ref = args
+        st_ref = None
+    d, nd = pl.program_id(1), pl.num_programs(1)
+    h, nh = pl.program_id(2), pl.num_programs(2)
+
+    @pl.when((pl.program_id(0) == 0) & (d == 0) & (h == 0))
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    if st_ref is not None:
+        bodies = [_norm_relu_row(_row(r), st_ref) for r in (xp, xm, xn)]
+    else:
+        bodies = [_row(r) for r in (xp, xm, xn)]
+    valids = _depth_valids(d, nd)
+    THW = bodies[0].shape[-1]
+    p = jnp.where(h == 0, jnp.zeros_like(_row(dyp)), _row(dyp))
+    n = jnp.where(h == nh - 1, jnp.zeros_like(_row(dyn)), _row(dyn))
+    dyext = jnp.concatenate([p, _row(dyb), n], axis=1)  # (Co, (TH+2)·W)
+    dY = jnp.concatenate(
+        [dyext[:, (2 - kh) * W: (2 - kh) * W + THW] for kh in range(3)],
+        axis=0)  # (3·Co, TH·W)
+    for kd in range(3):
+        patch = _kw_patch(bodies[kd], W)
+        part = jax.lax.dot_general(
+            dY, patch,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3·Co, 3·Ci)
+        dw_ref[kd] += part * valids[kd]
+
+
+def _dy_specs_ht(Co, D, H, W, TH):
+    """Body + h-halo row specs for the dy operand of the "d" H-tiled wgrad
+    (same W-row-unit indexing trick as `_halo_specs_ht`)."""
+    def at(hi):
+        return lambda b, d, h: (b, d, 0, hi(h))
+    h_body = lambda h: h
+    h_prev = lambda h: jnp.maximum(h * TH - 1, 0)
+    h_next = lambda h: jnp.minimum((h + 1) * TH, H - 1)
+    return [
+        pl.BlockSpec((1, 1, Co, TH * W), at(h_body)),
+        pl.BlockSpec((1, 1, Co, W), at(h_prev)),
+        pl.BlockSpec((1, 1, Co, W), at(h_next)),
+    ]
+
+
 def _halo_specs_ht(Ci, D, H, W, TH):
     """BlockSpecs for the 9 data refs of the H-tiled kernels, over a
     (B, D, Ci, H·W) operand viewed in two block granularities: (Ci, TH·W)
@@ -369,9 +533,12 @@ def _halo_specs_ht(Ci, D, H, W, TH):
 
 def _pick_th(H: int, W: int, Cmax: int) -> int:
     """H rows per tile: big tiles amortise halo/grid overhead; the (3·C, L)
-    f32 patch plus the accumulator must stay well inside scoped VMEM."""
+    patch, the accumulator, and (formulation "d") the (3·C, L) f32 dot
+    output must stay well inside scoped VMEM. The 6·C factor covers the
+    worst of both formulations and picks the same TH as the old 4·C factor
+    at every production shape (the candidates are octave-spaced)."""
     for th in (64, 32, 16, 8, 4, 2, 1):
-        if H % th == 0 and 4 * Cmax * th * W * 4 <= 4_000_000:
+        if H % th == 0 and 6 * Cmax * th * W * 4 <= 4_000_000:
             return th
     return 1
 
@@ -410,63 +577,115 @@ _TD_VMEM_BUDGET = 15_500_000
 
 
 def _td_vmem_est(td: int, S: int, Ci: int, Co: int, itemsize: int,
-                 wgrad: bool) -> int:
+                 wgrad: bool, form: str = "a") -> int:
     """Scoped-VMEM working-set estimate of one whole-plane grid step:
     3 TD-row input halo streams + the TD-row output (or dy) stream + the
-    (3·C_in, S) kw-concat patch + the 3 activated depth rows, plus (forward)
-    two live f32 (C_out, S) accumulators (`part` + `acc`), or (wgrad) the dy
-    row copy + the small f32 dw block. The wgrad streams carry a ×2
-    double-buffer factor — calibrated to the round-2 v5e observation that a
-    single-stream budget put the 64³ wgrad tile 304K over the scoped limit
-    at TD=4 while TD=2 fits; the forward calibration points are in
-    _TD_VMEM_BUDGET's comment."""
+    (3·C_in, S) kw-concat patch + the 3 activated depth rows, plus the
+    formulation's live dot outputs — "a" forward: two f32 (C_out, S)
+    accumulators (`part` + `acc`); "d" forward: the (3·C_out, S) f32 dot
+    output z + the accumulator + one shifted slice; "a" wgrad: the dy row
+    copy + the small f32 dw block; "d" wgrad: the kh-stacked (3·C_out, S)
+    dY copy. The wgrad streams carry a ×2 double-buffer factor — calibrated
+    to the round-2 v5e observation that a single-stream budget put the 64³
+    wgrad tile 304K over the scoped limit at TD=4 while TD=2 fits; the
+    forward calibration points are in _TD_VMEM_BUDGET's comment."""
     streams = 3 * td * Ci + td * Co
     scratch = 3 * Ci + 3 * Ci  # kw-concat patch + activated depth rows
     if wgrad:
-        return S * itemsize * (2 * streams + scratch + Co) \
+        dy_copies = 3 * Co if form == "d" else Co
+        return S * itemsize * (2 * streams + scratch + dy_copies) \
             + 2 * 9 * Co * 3 * Ci * 4
-    return S * itemsize * (streams + scratch) + S * 2 * Co * 4
+    live_f32 = 5 * Co if form == "d" else 2 * Co
+    if form == "d":
+        # Mosaic double-buffers the pipelined grid streams (the round-4b
+        # smoke OOM dumps show a 2·TD-row output block); form "a"'s budget
+        # constant absorbed that empirically, but "d" needs it explicit —
+        # its 9216/1→32 TD=8 estimate was 11.2M vs 19.4M observed.
+        streams *= 2
+    return S * itemsize * (streams + scratch) + S * live_f32 * 4
 
 
-def _pick_td(D: int, S: int, Ci: int, Co: int, concat_kw: bool,
-             itemsize: int, wgrad: bool = False,
-             fused: bool = False) -> int:
-    """Rows per grid step: amortise grid/halo overhead on small planes while
-    keeping the whole working set inside scoped VMEM.
-
-    The primary source of truth is the HARDWARE-MEASURED table
-    (`ops/vmem_table.py`, generated by `tools/calibrate_vmem.py` from real
-    Mosaic compiles of every kernel signature the MedFormer configs emit):
-    two rounds of analytic budgets each mispredicted a new shape (round 2:
-    the paired conv at 19.23M; round 3: the 128³ pair at Ci=64→Co=128/S=4096,
-    18.93M — the estimator said 12.6M because it missed the fused epilogue's
-    per-row f32 temporaries and Mosaic's tap liveness). Unmeasured shapes
-    fall back to the analytic estimate plus a conservative fused-epilogue
-    term (TD·3·Ci·S·4 bytes of live f32 normalize temps — calibrated to the
-    observed 18.93M); the traced smoke gate catches any survivor on hardware
-    before a training run can hit it. Per-tap mode stays at 1 row."""
-    if _td_override is not None:
-        return _td_override
-    if not concat_kw:
-        return 1
-    from .vmem_table import MEASURED_TD
-
-    cap = MEASURED_TD.get(
-        ("wgrad" if wgrad else "fwd", S, Ci, Co, itemsize, bool(fused))
-    )
+def _analytic_td(D: int, S: int, Ci: int, Co: int, itemsize: int,
+                 wgrad: bool, fused: bool, form: str) -> int:
     for td in (8, 4, 2):
         if D % td != 0:
             continue
-        if cap is not None:
-            if td <= cap:
-                return td
-            continue
-        est = _td_vmem_est(td, S, Ci, Co, itemsize, wgrad)
+        est = _td_vmem_est(td, S, Ci, Co, itemsize, wgrad, form)
         if fused:
             est += td * 3 * Ci * S * 4
         if est <= _TD_VMEM_BUDGET:
             return td
     return 1
+
+
+def _resolve_plane(D: int, S: int, Ci: int, Co: int, itemsize: int,
+                   wgrad: bool, fused: bool) -> tuple:
+    """(form, td) for a whole-plane kernel: dot formulation AND rows per
+    grid step, trading MXU occupancy ("d" stacks 3 kh rows along M) against
+    scoped VMEM (the working sets differ per formulation).
+
+    The primary source of truth is the HARDWARE-MEASURED table
+    (`ops/vmem_table.py`, generated by `tools/calibrate_vmem.py` from real
+    Mosaic compiles + timings of every kernel signature the MedFormer
+    configs emit): two rounds of analytic budgets each mispredicted a new
+    shape (round 2: the paired conv at 19.23M; round 3: the 128³ pair at
+    Ci=64→Co=128/S=4096, 18.93M — the estimator said 12.6M because it
+    missed the fused epilogue's per-row f32 temporaries and Mosaic's tap
+    liveness). PREFERRED_FORM holds the measured-FASTER formulation per
+    signature; MEASURED_TD holds each formulation's largest-lowering TD
+    (0 = even TD=1 fails). Unmeasured shapes fall back to the analytic
+    estimate plus a conservative fused-epilogue term (TD·3·Ci·S·4 bytes of
+    live f32 normalize temps — calibrated to the observed 18.93M); the
+    traced smoke gate catches any survivor on hardware before a training
+    run can hit it."""
+    from .vmem_table import MEASURED_TD, PREFERRED_FORM
+
+    kind = "wgrad" if wgrad else "fwd"
+    key = (kind, S, Ci, Co, itemsize, bool(fused))
+
+    def best_td(form):
+        cap = MEASURED_TD.get((form,) + key)
+        if cap == 0:
+            return 0
+        if cap is not None:
+            for td in (8, 4, 2):
+                if D % td == 0 and td <= cap:
+                    return td
+            return 1
+        return _analytic_td(D, S, Ci, Co, itemsize, wgrad, fused, form)
+
+    if _form_override is not None:
+        form = _form_override
+        td = _td_override if _td_override is not None else max(best_td(form), 1)
+        return form, td
+    form = PREFERRED_FORM.get(key)
+    if form is None:
+        est = _td_vmem_est(1, S, Ci, Co, itemsize, wgrad, "d")
+        if fused:
+            est += 3 * Ci * S * 4
+        form = "d" if est <= _TD_VMEM_BUDGET else "a"
+    td = best_td(form)
+    if td == 0:  # measured: this formulation cannot lower — use the other
+        form = "a" if form == "d" else "d"
+        td = max(best_td(form), 1)
+    if _td_override is not None:
+        td = _td_override
+    return form, td
+
+
+def _pick_form_ht(kind: str, H: int, W: int, Ci: int, Co: int,
+                  itemsize: int, fused: bool, TH: int) -> str:
+    """Dot formulation for the H-tiled kernels: measured-faster form when
+    calibrated, else "d" only when its (3·C_out, (TH+2)·W) f32 dot output
+    clearly fits the per-tile budget."""
+    from .vmem_table import PREFERRED_FORM_HT
+
+    if _form_override is not None:
+        return _form_override
+    form = PREFERRED_FORM_HT.get((kind, H, W, Ci, Co, itemsize, bool(fused)))
+    if form is not None:
+        return form
+    return "d" if 3 * Co * (TH + 2) * W * 4 <= 4_000_000 else "a"
 
 
 def _prep_w(w):
@@ -475,6 +694,15 @@ def _prep_w(w):
     w = jnp.transpose(w, (0, 1, 4, 2, 3))  # (kd, kh, co, kw, ci)
     kd, kh, co, kw, ci = w.shape
     return w.reshape(kd, kh, co, kw * ci)
+
+
+def _prep_w_d(w):
+    """(3, 3, 3, Ci, Co) flax kernel → (kd, 3·Co, 3·Ci) for formulation "d":
+    M rows ordered (kh, co), K cols ordered (kw, ci) — the same memory
+    layout as `_prep_w` with kh folded into M."""
+    w = jnp.transpose(w, (0, 1, 4, 2, 3))  # (kd, kh, co, kw, ci)
+    kd, kh, co, kw, ci = w.shape
+    return w.reshape(kd, kh * co, kw * ci)
 
 
 # input-channel chunk ceiling: at C_in = 96 (the decoder's concat input) the
@@ -567,21 +795,29 @@ def _conv3_cf_pallas(x, w, interpret=False, stats=None):
             out = part if out is None else out + part
         return out
     xf = x.reshape(B, D, Ci, S)
-    w_prep = _prep_w(w).astype(x.dtype)
     fuse = stats is not None
     st = (stats.astype(jnp.float32),) if fuse else ()
     if not _whole_plane_ok(x.dtype, S) and _ht_supported(H, W):
         TH = _pick_th(H, W, max(Ci, Co))
+        form = _pick_form_ht("fwd", H, W, Ci, Co, x.dtype.itemsize, fuse, TH)
         _emit_trace(op="conv_cf", kind="fwd", mode="ht", B=B, D=D, Ci=Ci,
                     Co=Co, H=H, W=W, itemsize=x.dtype.itemsize,
-                    dtype=str(x.dtype), fused=fuse, th=TH)
+                    dtype=str(x.dtype), fused=fuse, th=TH, form=form)
         st_specs = [_stats_spec(Ci, 3)] if fuse else []
+        if form == "d":
+            kernel = functools.partial(_fwd_kernel_ht_d, W, Co, fuse)
+            w_prep = _prep_w_d(w).astype(x.dtype)
+            w_spec = pl.BlockSpec((3, 3 * Co, 3 * Ci),
+                                  lambda b, d, h: (0, 0, 0))
+        else:
+            kernel = functools.partial(_fwd_kernel_ht, W, fuse)
+            w_prep = _prep_w(w).astype(x.dtype)
+            w_spec = pl.BlockSpec((3, 3, Co, 3 * Ci),
+                                  lambda b, d, h: (0, 0, 0, 0))
         out = pl.pallas_call(
-            functools.partial(_fwd_kernel_ht, W, fuse),
+            kernel,
             grid=(B, D, H // TH),
-            in_specs=_halo_specs_ht(Ci, D, H, W, TH) + st_specs
-            + [pl.BlockSpec((3, 3, Co, 3 * Ci),
-                            lambda b, d, h: (0, 0, 0, 0))],
+            in_specs=_halo_specs_ht(Ci, D, H, W, TH) + st_specs + [w_spec],
             out_specs=pl.BlockSpec((1, 1, Co, TH * W),
                                    lambda b, d, h: (b, d, 0, h)),
             out_shape=jax.ShapeDtypeStruct((B, D, Co, S), x.dtype),
@@ -589,16 +825,27 @@ def _conv3_cf_pallas(x, w, interpret=False, stats=None):
         )(*([xf] * 9), *st, w_prep)
         return out.reshape(B, D, Co, H, W)
     concat_kw = S * Ci * x.dtype.itemsize <= _CONCAT_BUDGET
-    TD = _pick_td(D, S, Ci, Co, concat_kw, x.dtype.itemsize, fused=fuse)
+    if concat_kw:
+        form, TD = _resolve_plane(D, S, Ci, Co, x.dtype.itemsize, False, fuse)
+    else:
+        form, TD = "a", 1
     _emit_trace(op="conv_cf", kind="fwd", mode="plane", B=B, D=D, Ci=Ci,
                 Co=Co, H=H, W=W, itemsize=x.dtype.itemsize,
-                dtype=str(x.dtype), fused=fuse, concat_kw=concat_kw, td=TD)
+                dtype=str(x.dtype), fused=fuse, concat_kw=concat_kw, td=TD,
+                form=form)
     st_specs = [_stats_spec(Ci, 2)] if fuse else []
+    if form == "d":
+        kernel = functools.partial(_fwd_kernel_d, W, Co, TD, fuse)
+        w_prep = _prep_w_d(w).astype(x.dtype)
+        w_spec = pl.BlockSpec((3, 3 * Co, 3 * Ci), lambda b, d: (0, 0, 0))
+    else:
+        kernel = functools.partial(_fwd_kernel, W, concat_kw, TD, fuse)
+        w_prep = _prep_w(w).astype(x.dtype)
+        w_spec = pl.BlockSpec((3, 3, Co, 3 * Ci), lambda b, d: (0, 0, 0, 0))
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, W, concat_kw, TD, fuse),
+        kernel,
         grid=(B, D // TD),
-        in_specs=_halo_specs(Ci, D, S, TD) + st_specs
-        + [pl.BlockSpec((3, 3, Co, 3 * Ci), lambda b, d: (0, 0, 0, 0))],
+        in_specs=_halo_specs(Ci, D, S, TD) + st_specs + [w_spec],
         out_specs=pl.BlockSpec((1, TD, Co, S), lambda b, d: (b, d, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, D, Co, S), x.dtype),
         interpret=interpret,
@@ -623,37 +870,66 @@ def _wgrad_pallas(x, dy, Co, interpret=False, stats=None):
     st = (stats.astype(jnp.float32),) if fuse else ()
     if not _whole_plane_ok(x.dtype, S) and _ht_supported(H, W):
         TH = _pick_th(H, W, max(Ci, Co))
+        form = _pick_form_ht("wgrad", H, W, Ci, Co, x.dtype.itemsize, fuse,
+                             TH)
         _emit_trace(op="conv_cf", kind="wgrad", mode="ht", B=B, D=D, Ci=Ci,
                     Co=Co, H=H, W=W, itemsize=x.dtype.itemsize,
-                    dtype=str(x.dtype), fused=fuse, th=TH)
+                    dtype=str(x.dtype), fused=fuse, th=TH, form=form)
         st_specs = [_stats_spec(Ci, 3)] if fuse else []
-        dw = pl.pallas_call(
-            functools.partial(_wgrad_kernel_ht, W, fuse),
-            grid=(B, D, H // TH),
-            in_specs=_halo_specs_ht(Ci, D, H, W, TH) + st_specs
-            + [pl.BlockSpec((1, 1, Co, TH * W),
-                            lambda b, d, h: (b, d, 0, h))],
-            out_specs=pl.BlockSpec((3, 3, Co, 3 * Ci),
-                                   lambda b, d, h: (0, 0, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((3, 3, Co, 3 * Ci), jnp.float32),
-            interpret=interpret,
-        )(*([xf] * 9), *st, dyf)
+        if form == "d":
+            body_specs = _halo_specs_ht(Ci, D, H, W, TH)[:3]
+            dw = pl.pallas_call(
+                functools.partial(_wgrad_kernel_ht_d, W, Co, fuse),
+                grid=(B, D, H // TH),
+                in_specs=body_specs + st_specs
+                + _dy_specs_ht(Co, D, H, W, TH),
+                out_specs=pl.BlockSpec((3, 3 * Co, 3 * Ci),
+                                       lambda b, d, h: (0, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((3, 3 * Co, 3 * Ci),
+                                               jnp.float32),
+                interpret=interpret,
+            )(xf, xf, xf, *st, dyf, dyf, dyf)
+        else:
+            dw = pl.pallas_call(
+                functools.partial(_wgrad_kernel_ht, W, fuse),
+                grid=(B, D, H // TH),
+                in_specs=_halo_specs_ht(Ci, D, H, W, TH) + st_specs
+                + [pl.BlockSpec((1, 1, Co, TH * W),
+                                lambda b, d, h: (b, d, 0, h))],
+                out_specs=pl.BlockSpec((3, 3, Co, 3 * Ci),
+                                       lambda b, d, h: (0, 0, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((3, 3, Co, 3 * Ci),
+                                               jnp.float32),
+                interpret=interpret,
+            )(*([xf] * 9), *st, dyf)
         dw = dw.reshape(3, 3, Co, 3, Ci)
         return jnp.transpose(dw, (0, 1, 3, 4, 2))
     concat_kw = S * Ci * x.dtype.itemsize <= _CONCAT_BUDGET
-    TD = _pick_td(D, S, Ci, Co, concat_kw, x.dtype.itemsize, wgrad=True,
-                  fused=fuse)
+    if concat_kw:
+        form, TD = _resolve_plane(D, S, Ci, Co, x.dtype.itemsize, True, fuse)
+    else:
+        form, TD = "a", 1
     _emit_trace(op="conv_cf", kind="wgrad", mode="plane", B=B, D=D, Ci=Ci,
                 Co=Co, H=H, W=W, itemsize=x.dtype.itemsize,
-                dtype=str(x.dtype), fused=fuse, concat_kw=concat_kw, td=TD)
+                dtype=str(x.dtype), fused=fuse, concat_kw=concat_kw, td=TD,
+                form=form)
     st_specs = [_stats_spec(Ci, 2)] if fuse else []
+    if form == "d":
+        kernel = functools.partial(_wgrad_kernel_d, W, Co, TD, fuse)
+        out_spec = pl.BlockSpec((3, 3 * Co, 3 * Ci), lambda b, d: (0, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((3, 3 * Co, 3 * Ci), jnp.float32)
+    else:
+        kernel = functools.partial(_wgrad_kernel, W, concat_kw, TD, fuse)
+        out_spec = pl.BlockSpec((3, 3, Co, 3 * Ci),
+                                lambda b, d: (0, 0, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((3, 3, Co, 3 * Ci), jnp.float32)
     dw = pl.pallas_call(
-        functools.partial(_wgrad_kernel, W, concat_kw, TD, fuse),
+        kernel,
         grid=(B, D // TD),
         in_specs=_halo_specs(Ci, D, S, TD) + st_specs
         + [pl.BlockSpec((1, TD, Co, S), lambda b, d: (b, d, 0, 0))],
-        out_specs=pl.BlockSpec((3, 3, Co, 3 * Ci), lambda b, d: (0, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((3, 3, Co, 3 * Ci), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(xf, xf, xf, *st, dyf)
     # (kd, kh, co, kw*ci) → flax layout (kd, kh, kw, ci, co)

@@ -79,7 +79,7 @@ def sig_key(sig: Dict[str, Any]):
                 sig["dtype"])
     return ("conv_cf", sig["kind"], sig["mode"], sig["H"], sig["W"],
             sig["Ci"], sig["Co"], sig["dtype"], sig["fused"],
-            sig.get("td"), sig.get("th"))
+            sig.get("td"), sig.get("th"), sig.get("form"))
 
 
 def dedupe(sigs: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
@@ -125,11 +125,18 @@ def _conv_ref_act(x, stats):
 
 def replay_signature(sig: Dict[str, Any], td: int | None = None,
                      check_numerics: bool = True,
-                     interpret: bool = False) -> None:
+                     interpret: bool = False,
+                     form: str | None = None,
+                     time_iters: int = 0) -> float | None:
     """Execute one traced signature's pallas_call on the current backend,
     asserting numerics against the XLA path. `td` pins the whole-plane depth
-    tile (defaults to the traced pick). Raises on lowering failure or
-    mismatch — callers turn that into a gate/calibration verdict."""
+    tile and `form` the dot formulation (both default to the dispatch's live
+    pick). Raises on lowering failure or mismatch — callers turn that into a
+    gate/calibration verdict. With `time_iters` > 0, additionally times the
+    jitted op at a deeper volume and returns ms/call (two-point measurement:
+    (t[n+iters] − t[n]) / iters with scalar fetches, cancelling the relay's
+    fixed dispatch latency — block_until_ready timings through the relay are
+    unreliable)."""
     rng = np.random.default_rng(0)
     if sig["op"] == "dwconv":
         dtype = jnp.dtype(sig["dtype"])
@@ -154,37 +161,81 @@ def replay_signature(sig: Dict[str, Any], td: int | None = None,
         return
 
     x, w, stats = _conv_operands(sig, rng, td)
-    prev = conv_cf._td_override
+    prev_td, prev_form = conv_cf._td_override, conv_cf._form_override
     if td is not None and sig["mode"] == "plane":
         conv_cf._td_override = td
+    if form is not None:
+        conv_cf._form_override = form
     try:
         if sig["kind"] == "fwd":
             y = conv_cf._conv3_cf_pallas(x, w, interpret, stats)
-            if not check_numerics:
+            if check_numerics:
+                ref = conv_cf._conv3_cf_xla(_conv_ref_act(x, stats), w)
+                _assert_close(y, ref, x.dtype)
+            else:
                 jax.block_until_ready(y)
-                return
-            ref = conv_cf._conv3_cf_xla(_conv_ref_act(x, stats), w)
-            _assert_close(y, ref, x.dtype)
         else:  # wgrad
             Co = sig["Co"]
             dy = jnp.asarray(
                 rng.normal(size=(1, x.shape[1], Co, sig["H"], sig["W"])),
                 x.dtype)
             dw = conv_cf._wgrad_pallas(x, dy, Co, interpret, stats)
-            if not check_numerics:
+            if check_numerics:
+                # reference entirely in f32 (same bf16 operand values cast
+                # up — both sides then accumulate in f32; mixed-dtype conv
+                # transposes are not supported by lax)
+                a32 = _conv_ref_act(x, stats).astype(jnp.float32)
+                dy32 = dy.astype(jnp.float32)
+                dw_ref = jax.grad(
+                    lambda w_: jnp.sum(conv_cf._conv3_cf_xla(a32, w_) * dy32)
+                )(w.astype(jnp.float32))
+                _assert_close(dw, dw_ref, x.dtype)
+            else:
                 jax.block_until_ready(dw)
-                return
-            # reference entirely in f32 (same bf16 operand values cast up —
-            # both sides then accumulate in f32; mixed-dtype conv transposes
-            # are not supported by lax)
-            a32 = _conv_ref_act(x, stats).astype(jnp.float32)
-            dy32 = dy.astype(jnp.float32)
-            dw_ref = jax.grad(
-                lambda w_: jnp.sum(conv_cf._conv3_cf_xla(a32, w_) * dy32)
-            )(w.astype(jnp.float32))
-            _assert_close(dw, dw_ref, x.dtype)
+        if not time_iters:
+            return None
+        return _time_signature(sig, rng, td, interpret, time_iters)
     finally:
-        conv_cf._td_override = prev
+        conv_cf._td_override = prev_td
+        conv_cf._form_override = prev_form
+
+
+def _time_signature(sig, rng, td, interpret, iters) -> float:
+    """ms/call of the jitted signature at a deeper (timing) volume. Must run
+    inside the caller's override scope — the jit traces on first call."""
+    import time as _time
+
+    base = (td if td is not None else sig.get("td") or 1) \
+        if sig["mode"] == "plane" else 4
+    D = max(32, 4 * base)
+    D -= D % base
+    dtype = jnp.dtype(sig["dtype"])
+    Ci, Co, H, W = sig["Ci"], sig["Co"], sig["H"], sig["W"]
+    x = jnp.asarray(rng.normal(size=(1, D, Ci, H, W)), dtype)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, Ci, Co)) * 0.2, dtype)
+    stats = conv_cf._in_stats_cf(x, 1e-4) if sig["fused"] else None
+    if sig["kind"] == "fwd":
+        fn = jax.jit(lambda a, b: conv_cf._conv3_cf_pallas(
+            a, b, interpret, stats))
+        args = (x, w)
+    else:
+        dy = jnp.asarray(rng.normal(size=(1, D, Co, H, W)), dtype)
+        fn = jax.jit(lambda a, b: conv_cf._wgrad_pallas(
+            a, b, Co, interpret, stats))
+        args = (x, dy)
+
+    def run(n):
+        t0 = _time.perf_counter()
+        y = None
+        for _ in range(n):
+            y = fn(*args)
+        float(jnp.sum(y.astype(jnp.float32)))
+        return _time.perf_counter() - t0
+
+    run(1)  # compile + warm
+    t_a = run(2)
+    t_b = run(2 + iters)
+    return max(t_b - t_a, 1e-9) / iters * 1000.0
 
 
 def _assert_close(y, ref, dtype):

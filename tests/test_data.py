@@ -335,6 +335,48 @@ def test_device_augment_shapes_and_flags(tmp_path):
     assert set(np.unique(lab)) <= {0.0, 1.0}  # nearest-neighbour labels stay binary
 
 
+def test_device_augment_packed_matches_unpacked():
+    """The host-packed transfer path (pack_record_masks → masks_packed bytes
+    → _bytes_to_words on device) must produce bit-identical augmented masks
+    and images vs the one-hot path under the same PRNG key."""
+    import jax
+
+    from rsuper_tpu.data.pipeline import pack_record_masks
+
+    B, C = 2, len(CLASSES)
+    load = (52, 72, 72)
+    rng = np.random.default_rng(11)
+    recs = []
+    for _ in range(B):
+        recs.append({
+            "image": rng.normal(size=(*load, 1)).astype(np.float32),
+            "label": (rng.random((*load, C)) > 0.8).astype(np.uint8),
+            "unk": (rng.random((*load, C)) > 0.9).astype(np.uint8),
+            "segment_mask": (rng.random((*load, C)) > 0.95).astype(np.uint8),
+            "volumes": np.zeros((10,), np.float32),
+            "diameters": np.zeros((10, 3), np.float32),
+            "apply_affine": np.ones((), np.float32),
+        })
+    stack = lambda rs: {k: np.stack([r[k] for r in rs]) for k in rs[0]}
+    batch = stack(recs)
+    # image_dtype=None isolates the mask packing (f16 image narrowing is a
+    # separate, deliberate precision choice)
+    packed = stack([pack_record_masks(r, image_dtype=None) for r in recs])
+    assert packed["masks_packed"].shape == (*((B,) + load), (3 * C + 7) // 8)
+
+    key = jax.random.PRNGKey(3)
+    out_a = device_augment(
+        {k: jax.numpy.asarray(v) for k, v in batch.items()}, key,
+        crop_size=(32, 32, 32))
+    out_b = device_augment(
+        {k: jax.numpy.asarray(v) for k, v in packed.items()}, key,
+        crop_size=(32, 32, 32), num_classes=C)
+    for k in ("image", "label", "unk", "segment_mask"):
+        np.testing.assert_array_equal(np.asarray(out_a[k]),
+                                      np.asarray(out_b[k]), err_msg=k)
+    assert "masks_packed" not in out_b
+
+
 def test_affine_sample_window_matches_full_warp_then_crop():
     """The pipeline's fused window sampler must be bitwise-equal to the naive
     warp-full-volume-then-center_crop composition it replaced (it samples the

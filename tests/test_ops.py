@@ -383,6 +383,16 @@ class TestConvCF:
     validated in interpret mode (real lowering is exercised by bench.py on
     TPU hardware)."""
 
+    @pytest.fixture(params=["a", "d"])
+    def form(self, request, monkeypatch):
+        """Pin the dot formulation ("a" per-tap / "d" kh-stacked) so both
+        kernel families get interpret-mode coverage regardless of what the
+        hardware-calibrated table would pick."""
+        from rsuper_tpu.ops import conv_cf
+
+        monkeypatch.setattr(conv_cf, "_form_override", request.param)
+        return request.param
+
     def _golden(self, x_cl, w):
         import flax.linen as nn
 
@@ -403,7 +413,7 @@ class TestConvCF:
         got = jnp.moveaxis(conv3x3x3_cf(x_cf, w), 2, -1)
         np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-4)
 
-    def test_pallas_interpret_matches_flax(self):
+    def test_pallas_interpret_matches_flax(self, form):
         from rsuper_tpu.ops.conv_cf import conv3x3x3_cf
 
         x_cl, w = self._setup()
@@ -413,7 +423,7 @@ class TestConvCF:
         )
         np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-4)
 
-    def test_pallas_channel_chunking_matches_flax(self):
+    def test_pallas_channel_chunking_matches_flax(self, form):
         """C_in > 64 splits into VMEM-sized chunks summed outside the kernel
         (the decoder's 96-channel concat input OOM'd scoped vmem on v5e)."""
         from rsuper_tpu.ops.conv_cf import conv3x3x3_cf
@@ -466,7 +476,7 @@ class TestConvCF:
         np.testing.assert_allclose(gx_p, gx_x, rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(gw_p, gw_x, rtol=1e-4, atol=1e-2)
 
-    def test_pallas_ht_mode_matches_flax(self, monkeypatch):
+    def test_pallas_ht_mode_matches_flax(self, monkeypatch, form):
         """H-tiled kernels (the 128³ path: plane larger than the whole-plane
         VMEM budget, W 128-divisible) — multi-tile grid with h-halo refs,
         fwd + both grads vs the XLA path."""
@@ -495,7 +505,7 @@ class TestConvCF:
         np.testing.assert_allclose(gx_p, gx_x, rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(gw_p, gw_x, rtol=1e-4, atol=1e-2)
 
-    def test_pallas_ht_channel_chunking(self, monkeypatch):
+    def test_pallas_ht_channel_chunking(self, monkeypatch, form):
         """HT path with C_in > chunk ceiling (the 128³ decoder concat input)."""
         from rsuper_tpu.ops import conv_cf
 
@@ -536,7 +546,7 @@ class TestConvCF:
         return _conv3_cf_xla(a, w)
 
     @pytest.mark.parametrize("ht", [False, True])
-    def test_fused_in_relu_conv_matches_unfused(self, monkeypatch, ht):
+    def test_fused_in_relu_conv_matches_unfused(self, monkeypatch, ht, form):
         """Fused IN+relu+conv epilogue (whole-plane and H-tiled kernels):
         forward and both grads vs the unfused norm→relu→conv chain."""
         import jax
@@ -571,7 +581,7 @@ class TestConvCF:
         np.testing.assert_allclose(gx_p, gx_x, rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(gw_p, gw_x, rtol=1e-4, atol=1e-2)
 
-    def test_fused_in_relu_conv_chunked(self, monkeypatch):
+    def test_fused_in_relu_conv_chunked(self, monkeypatch, form):
         """Fused epilogue through the channel-chunk path: stats slice per
         chunk (per-channel normalisation is chunk-independent)."""
         from rsuper_tpu.ops import conv_cf
@@ -584,7 +594,7 @@ class TestConvCF:
         np.testing.assert_allclose(got, self._fused_golden(x_cf, w),
                                    atol=1e-3)
 
-    def test_pallas_gradients_match_xla(self):
+    def test_pallas_gradients_match_xla(self, form):
         import jax
 
         from rsuper_tpu.ops.conv_cf import conv3x3x3_cf

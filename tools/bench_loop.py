@@ -135,7 +135,8 @@ def main():
     if args.augment == "device":
         augment_fn = build_augment_step(
             mesh, crop_size=crop, scale=(0.1, 0.1, 0.1),
-            rotate=(30.0, 30.0, 30.0), out_dtype=jnp.bfloat16)
+            rotate=(30.0, 30.0, 30.0), out_dtype=jnp.bfloat16,
+            num_classes=len(CLASSES))
     elif args.augment == "host":
         from rsuper_tpu.data.host_augment import make_host_augment
 

@@ -1,19 +1,23 @@
 #!/usr/bin/env python
-"""Hardware calibration of the Pallas conv kernels' VMEM capacity.
+"""Hardware calibration of the Pallas conv kernels' VMEM capacity and dot
+formulation.
 
-Measures, on the REAL TPU backend, which depth-tile sizes (TD) actually
-lower for every whole-plane channel-first conv signature the production
-MedFormer configs (96³ and 128³) emit — plus a pass/fail replay of every
-H-tiled and depthwise signature. Two rounds of analytic scoped-VMEM budgets
-each mispredicted a new shape on real Mosaic lowering (VERDICT r3 weak #1);
-this replaces prediction with measurement.
+Measures, on the REAL TPU backend, which (dot formulation, depth-tile) pairs
+actually lower for every whole-plane channel-first conv signature the
+production MedFormer configs (96³ and 128³) emit — and TIMES the surviving
+candidates so `ops/vmem_table.py` records the measured-faster formulation
+per signature ("a" per-tap vs "d" kh-stacked; see conv_cf.py). H-tiled and
+depthwise signatures get pass/fail + timing replays. Two rounds of analytic
+scoped-VMEM budgets each mispredicted a new shape on real Mosaic lowering
+(VERDICT r3 weak #1); this replaces prediction with measurement.
 
 Usage (on the TPU host):
     env PYTHONPATH=/root/repo:/root/.axon_site \
         python tools/calibrate_vmem.py              # measure (resumable)
     python tools/calibrate_vmem.py --emit           # regenerate ops/vmem_table.py
+    python tools/calibrate_vmem.py --check          # validate live picks
 
-Results stream to artifacts/vmem_calib.jsonl (one JSON object per cell);
+Results stream to artifacts/vmem_calib2.jsonl (one JSON object per cell);
 re-runs skip already-measured cells, so an interrupted batch resumes free.
 Every compile lands in the persistent JAX compile cache.
 """
@@ -27,16 +31,19 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-CALIB = REPO / "artifacts" / "vmem_calib.jsonl"
+CALIB = REPO / "artifacts" / "vmem_calib2.jsonl"
 TABLE = REPO / "rsuper_tpu" / "ops" / "vmem_table.py"
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
 
+FORMS = ("a", "d")
+TIME_ITERS = 10
+
 
 def plane_cells(sigs):
-    """(group_key, real_D, candidate TDs) for every whole-plane conv group.
-    Candidates descend from the largest {8,4,2} divisor of the real depth;
-    the first success is the measured cap (working sets grow with TD, so
+    """(key, sig, candidate TDs) for every whole-plane conv group. Candidates
+    descend from the largest {8,4,2} divisor of the real depth; per form, the
+    first success is the measured cap (working sets grow with TD, so
     larger-TD success implies nothing about smaller, but smaller-TD success
     after a larger-TD failure is exactly what we record)."""
     groups = {}
@@ -56,21 +63,28 @@ def plane_cells(sigs):
 
 
 def other_cells(sigs):
-    """H-tiled conv + dwconv signatures: single pass/fail replays."""
+    """H-tiled conv (per formulation) + dwconv signatures: pass/fail + timing
+    replays. Returns (cell_key, sig, form) tuples — form None for dwconv."""
     from rsuper_tpu.ops import trace_shapes as ts
 
     out, seen = [], set()
     for s in sigs:
         if s["op"] == "conv_cf" and s["mode"] == "plane":
             continue
-        k = ts.sig_key(s)
-        # one replay covers dwconv fwd+bwd (value_and_grad)
         if s["op"] == "dwconv":
-            k = ("dwconv",) + k[2:]
-        if k in seen:
+            k = ("dwconv",) + ts.sig_key(s)[2:]
+            if k in seen:
+                continue
+            seen.add(k)
+            out.append((k, s, None))
             continue
-        seen.add(k)
-        out.append((k, s))
+        for form in FORMS:
+            s2 = dict(s, form=form)
+            k = ts.sig_key(s2)
+            if k in seen:
+                continue
+            seen.add(k)
+            out.append((k, s2, form))
     return out
 
 
@@ -91,22 +105,26 @@ def record(rec):
 
 
 _SCOPED = re.compile(r"[Ss]coped allocation with size ([0-9.]+)([MKG])")
+_MS = re.compile(r"CELL_MS ([0-9.eE+-]+)")
 
 
-def run_cell(cell, sig, td):
+def run_cell(cell, sig, td, form, time_iters=TIME_ITERS):
     """One measurement in a SUBPROCESS: a Mosaic compile failure can leave
     the PJRT client in a bad state, and a fresh process per cell keeps every
     verdict independent. The compile cache makes process startup the only
     repeated cost."""
-    payload = json.dumps({"sig": sig, "td": td})
+    payload = json.dumps({"sig": sig, "td": td, "form": form,
+                          "iters": time_iters})
     t0 = time.time()
     proc = subprocess.run(
         ["python", "-c", (
             "import json,sys\n"
             "spec=json.loads(sys.argv[1])\n"
             "from rsuper_tpu.ops import trace_shapes as ts\n"
-            "ts.replay_signature(spec['sig'], td=spec['td'])\n"
+            "ms=ts.replay_signature(spec['sig'], td=spec['td'],"
+            " form=spec['form'], time_iters=spec['iters'])\n"
             "print('CELL_OK')\n"
+            "print('CELL_MS', ms if ms is not None else 0.0)\n"
         ), payload],
         capture_output=True, text=True, timeout=2400, cwd=str(REPO),
         env={**os.environ, "PYTHONPATH": f"{REPO}:/root/.axon_site"},
@@ -119,11 +137,15 @@ def run_cell(cell, sig, td):
     if m:
         mult = {"K": 1e3, "M": 1e6, "G": 1e9}[m.group(2)]
         scoped = float(m.group(1)) * mult
+    ms = None
+    m = _MS.search(proc.stdout)
+    if m:
+        ms = float(m.group(1))
     err = None
     if not ok:
         tail = [ln for ln in out.splitlines() if ln.strip()]
         err = " | ".join(tail[-3:])[:500]
-    return {"cell": list(cell), "ok": ok, "scoped_bytes": scoped,
+    return {"cell": list(cell), "ok": ok, "scoped_bytes": scoped, "ms": ms,
             "seconds": secs, "error": err}
 
 
@@ -136,61 +158,101 @@ def measure(sizes):
     done = load_done()
 
     for key, sig, tds in plane_cells(sigs):
-        for td in tds:
-            cell = ("plane",) + key + (td,)
-            if cell in done:
-                rec = done[cell]
-            else:
-                rec = run_cell(cell, sig, td)
-                record(rec)
-            print(f"{cell}: ok={rec['ok']} "
-                  f"scoped={rec['scoped_bytes']} {rec['seconds']}s",
-                  flush=True)
-            if rec["ok"]:
-                break  # cap found; smaller TDs implied measurable later
+        for form in FORMS:
+            for td in tds:
+                cell = ("plane", form) + key + (td,)
+                if cell in done:
+                    rec = done[cell]
+                else:
+                    rec = run_cell(cell, sig, td, form)
+                    record(rec)
+                print(f"{cell}: ok={rec['ok']} scoped={rec['scoped_bytes']} "
+                      f"ms={rec['ms']} {rec['seconds']}s", flush=True)
+                if rec["ok"]:
+                    break  # this form's cap found
 
-    for k, sig in other_cells(sigs):
+    for k, sig, form in other_cells(sigs):
         cell = ("replay",) + k
         if cell in done:
             rec = done[cell]
         else:
-            rec = run_cell(cell, sig, None)
+            rec = run_cell(cell, sig, None, form)
             record(rec)
-        print(f"{cell}: ok={rec['ok']} {rec['seconds']}s", flush=True)
+        print(f"{cell}: ok={rec['ok']} ms={rec['ms']} {rec['seconds']}s",
+              flush=True)
 
     fails = [r for r in load_done().values()
              if not r["ok"] and r["cell"][0] == "replay"]
     print(f"done; {len(fails)} replay failures", flush=True)
 
 
+_ITEMSIZE = {"bfloat16": 2, "float16": 2, "float32": 4, "float64": 8}
+
+
 def emit():
     done = load_done()
-    caps = {}
+    caps, times = {}, {}
     for cell, rec in sorted(done.items()):
         if cell[0] != "plane":
             continue
-        kind, S, Ci, Co, itemsize, fused, td = cell[1:]
+        form, kind, S, Ci, Co, itemsize, fused, td = cell[1:]
         key = (kind, S, Ci, Co, itemsize, bool(fused))
+        fkey = (form,) + key
         if rec["ok"]:
-            caps[key] = max(caps.get(key, 0), td)
+            caps[fkey] = max(caps.get(fkey, 0), td)
+            if rec.get("ms") and (fkey not in times
+                                  or td > times[fkey][0]):
+                times[fkey] = (td, rec["ms"])
         else:
-            caps.setdefault(key, 0)
+            caps.setdefault(fkey, 0)
+    preferred = {}
+    for fkey, (td, ms) in times.items():
+        key = fkey[1:]
+        cur = preferred.get(key)
+        if cur is None or ms < cur[1]:
+            preferred[key] = (fkey[0], ms)
+
+    ht_pref = {}
+    for cell, rec in sorted(done.items()):
+        # replay conv cells: ("replay", "conv_cf", kind, mode, H, W, Ci, Co,
+        #                     dtype, fused, td, th, form)
+        if cell[0] != "replay" or cell[1] != "conv_cf" or cell[3] != "ht":
+            continue
+        _, _, kind, _, H, W, Ci, Co, dtype, fused, _, _, form = cell
+        if not rec["ok"] or not rec.get("ms"):
+            continue
+        key = (kind, H, W, Ci, Co, _ITEMSIZE.get(dtype, 2), bool(fused))
+        cur = ht_pref.get(key)
+        if cur is None or rec["ms"] < cur[1]:
+            ht_pref[key] = (form, rec["ms"])
+
     head = Path(TABLE).read_text().split("# provenance:")[0]
     lines = [head.rstrip(), "",
              "# provenance: generated by tools/calibrate_vmem.py from",
-             f"# artifacts/vmem_calib.jsonl ({len(done)} measured cells)",
+             f"# artifacts/vmem_calib2.jsonl ({len(done)} measured cells)",
              "MEASURED_TD = {"]
-    for key, cap in sorted(caps.items()):
-        lines.append(f"    {key!r}: {cap},")
+    for fkey, cap in sorted(caps.items()):
+        lines.append(f"    {fkey!r}: {cap},")
+    lines.append("}")
+    lines.append("")
+    lines.append("PREFERRED_FORM = {")
+    for key, (form, ms) in sorted(preferred.items()):
+        lines.append(f"    {key!r}: {form!r},  # {ms:.3f} ms")
+    lines.append("}")
+    lines.append("")
+    lines.append("PREFERRED_FORM_HT = {")
+    for key, (form, ms) in sorted(ht_pref.items()):
+        lines.append(f"    {key!r}: {form!r},  # {ms:.3f} ms")
     lines.append("}")
     TABLE.write_text("\n".join(lines) + "\n")
-    print(f"wrote {TABLE} with {len(caps)} entries")
+    print(f"wrote {TABLE} with {len(caps)} caps, {len(preferred)} plane "
+          f"picks, {len(ht_pref)} ht picks")
 
 
 def check(sizes):
     """Post-emit validation: re-trace the production configs with the live
-    table and confirm every whole-plane pick is hardware-measured-good (the
-    exact (key, td) cell has ok=true). Exits nonzero otherwise."""
+    table and confirm every pick (whole-plane (form, td) and H-tiled form)
+    is hardware-measured-good. Exits nonzero otherwise."""
     import importlib
 
     from rsuper_tpu.ops import vmem_table
@@ -201,14 +263,17 @@ def check(sizes):
     sigs = ts.production_signatures(sizes=sizes)
     bad = []
     for s in sigs:
-        if s["op"] != "conv_cf" or s["mode"] != "plane":
+        if s["op"] != "conv_cf":
             continue
-        key = (s["kind"], s["H"] * s["W"], s["Ci"], s["Co"], s["itemsize"],
-               bool(s["fused"]))
-        cell = ("plane",) + key + (s["td"],)
+        if s["mode"] == "plane":
+            key = (s["kind"], s["H"] * s["W"], s["Ci"], s["Co"],
+                   s["itemsize"], bool(s["fused"]))
+            cell = ("plane", s["form"]) + key + (s["td"],)
+        else:
+            cell = ("replay",) + ts.sig_key(s)
         rec = done.get(cell)
         if rec is None or not rec["ok"]:
-            bad.append((key, s["td"], None if rec is None else rec["ok"]))
+            bad.append((cell, None if rec is None else rec["ok"]))
     for b in bad:
         print("UNMEASURED OR FAILING PICK:", b)
     print(f"checked {len(sigs)} signatures; {len(bad)} bad picks")
