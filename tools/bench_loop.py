@@ -153,7 +153,10 @@ def main():
     total = args.warmup + args.steps
     indices = [i % len(dataset) for i in range(total * args.batch)]
     loader = PrefetchLoader(dataset, args.batch, indices,
-                            num_workers=args.workers, transform=transform)
+                            num_workers=args.workers, transform=transform,
+                            # mirror train/loop.py: packed-byte mask transfer
+                            # whenever the augment pass runs on device
+                            pack_masks=augment_fn is not None)
     aug_key = jax.random.PRNGKey(1)
 
     n = 0
