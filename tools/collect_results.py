@@ -30,8 +30,9 @@ ART = REPO / "artifacts"
 
 # stage name -> the metric keys worth surfacing in the markdown table
 STAGES = [
-    "probe", "smoke", "bench96", "bench128", "augment", "augment_fullwarp",
-    "loop_device", "loop_host", "loop_off", "infer", "profile96",
+    "probe", "calibcheck", "smoke", "bench96", "bench128", "augment",
+    "augment_fullwarp", "loop_device", "loop_host", "loop_off", "infer",
+    "profile96", "profile_infer",
 ]
 
 
