@@ -83,6 +83,13 @@ class TrainConfig:
     save_every: int = 25
     resume: bool = False
     pretrained: str = ""
+    # class-surgery transfer (reference --update_output_layer --old_classes,
+    # train_ddp.py:437-438): a YAML/JSON list file or comma-separated string
+    # of the DONOR checkpoint's class list (sorted, like the reference).
+    # When set, the --pretrained load remaps the output-head kernels class
+    # by class (models/surgery.update_output_layers) instead of requiring
+    # identical head shapes.
+    old_classes: str = ""
     # baselines
     model_genesis_pretrain: bool = False
     clip_pretrain: bool = False

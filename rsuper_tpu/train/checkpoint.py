@@ -109,13 +109,41 @@ def _key_str(entry) -> str:
     return str(entry)
 
 
-def load_pretrained_params(state, path: str, tag: str = "best"):
+def parse_class_list(spec: str):
+    """A class list from a YAML/JSON list file or a comma-separated string,
+    SORTED — the reference sorts the old-classes yaml on load
+    (``train_ddp.py:438`` \"we will sort them!\")."""
+    if os.path.exists(spec):
+        text = open(spec).read()
+        try:
+            import yaml
+
+            classes = yaml.safe_load(text)
+        except Exception:
+            import json
+
+            classes = json.loads(text)
+        if isinstance(classes, dict):  # tolerate {'classes': [...]} wrappers
+            classes = classes.get("classes", list(classes.values())[0])
+    else:
+        classes = [c for c in spec.split(",") if c.strip()]
+    return sorted(str(c).strip() for c in classes)
+
+
+def load_pretrained_params(state, path: str, tag: str = "best",
+                           old_classes=None, new_classes=None):
     """Non-strict transfer-learning load (reference ``model/utils.py:125-129``):
     copies leaves whose flattened path+shape match; everything else keeps its
     fresh init. Matching is by PATH, not tree structure, so checkpoints from
     older module layouts still donate every surviving parameter — and the log
     reports exactly how many leaves transferred (a silent zero-match load
-    would otherwise masquerade as a successful warm start)."""
+    would otherwise masquerade as a successful warm start).
+
+    With `old_classes` + `new_classes` (reference --update_output_layer
+    --old_classes, ``train_ddp.py:437-438`` → ``update_output_layer_onk``),
+    the output-head kernels are instead remapped class by class
+    (`models/surgery.update_output_layers`), so a checkpoint trained on a
+    different class list donates every class both lists share."""
     import logging
 
     logger = logging.getLogger("rsuper")
@@ -129,6 +157,25 @@ def load_pretrained_params(state, path: str, tag: str = "best"):
             ckpt_path, type(e).__name__, e,
         )
         return state
+
+    if old_classes:
+        from ..models.surgery import update_output_layers
+
+        params = update_output_layers(
+            state.params, donor_params, list(old_classes), list(new_classes),
+        )
+        params = jax.tree.map(
+            lambda new, old: jax.numpy.asarray(old,
+                                               getattr(new, "dtype", None)),
+            state.params, params,
+        )
+        logger.info(
+            "pretrained transfer from %s with class surgery: %d old -> %d "
+            "new classes (%d shared)",
+            ckpt_path, len(old_classes), len(new_classes),
+            len(set(old_classes) & set(new_classes)),
+        )
+        return state.replace(params=params)
 
     donor = {
         "/".join(_key_str(k) for k in kp): v

@@ -154,11 +154,15 @@ def train(
 
     ckpt = CheckpointManager(exp_dir, save_every=cfg.save_every)
     if cfg.pretrained:
-        from ..train.checkpoint import load_pretrained_params
+        from ..train.checkpoint import load_pretrained_params, parse_class_list
 
-        state = load_pretrained_params(state, cfg.pretrained)
-        logger.info("loaded pretrained weights from %s (non-strict)",
-                    cfg.pretrained)
+        old = parse_class_list(cfg.old_classes) if cfg.old_classes else None
+        state = load_pretrained_params(
+            state, cfg.pretrained,
+            old_classes=old, new_classes=list(cfg.classes),
+        )
+        logger.info("loaded pretrained weights from %s (%s)", cfg.pretrained,
+                    "class surgery" if old else "non-strict")
     if cfg.resume and ckpt.has("latest"):
         state = ckpt.restore(state, "latest")
         logger.info("resumed from step %d", int(state.step))

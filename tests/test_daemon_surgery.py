@@ -125,3 +125,63 @@ def test_load_pretrained_params_matches_by_path(tmp_path):
     # unreadable path: warn + keep fresh init, never raise
     out2 = load_pretrained_params(state, str(tmp_path / "nope"), tag="best")
     assert out2 is state
+
+
+def test_load_pretrained_params_class_surgery(tmp_path):
+    """--pretrained + --old_classes end-to-end (reference
+    --update_output_layer --old_classes, train_ddp.py:437-438): the donor
+    checkpoint's head kernels are remapped class by class through
+    checkpoint.load_pretrained_params, and parse_class_list sorts its input
+    like the reference does."""
+    import optax
+
+    from rsuper_tpu.train.checkpoint import (
+        CheckpointManager,
+        load_pretrained_params,
+        parse_class_list,
+    )
+    from rsuper_tpu.train.state import TrainState
+
+    assert parse_class_list("liver,background") == ["background", "liver"]
+    yml = tmp_path / "old.yaml"
+    yml.write_text("- liver\n- background\n- pancreatic_lesion\n")
+    old_classes = parse_class_list(str(yml))
+    assert old_classes == ["background", "liver", "pancreatic_lesion"]
+
+    new_classes = ["background", "kidney_lesion", "liver",
+                   "pancreatic_lesion"]
+    x = jnp.ones((1, 8, 8, 8, 1))
+    m_old = get_model("resunet", len(old_classes), {"base_chan": 4},
+                      dtype=jnp.float32)
+    m_new = get_model("resunet", len(new_classes), {"base_chan": 4},
+                      dtype=jnp.float32)
+    p_old = m_old.init(jax.random.PRNGKey(0), x)
+    p_new = m_new.init(jax.random.PRNGKey(1), x)
+
+    tx = optax.sgd(0.1)
+    donor = TrainState(params=p_old, opt_state=tx.init(p_old),
+                       ema_params=None, step=jnp.zeros((), jnp.int32), tx=tx)
+    mgr = CheckpointManager(str(tmp_path / "ck"), synchronous=True)
+    mgr._save("best", donor)
+    mgr.wait()
+
+    state = TrainState(params=p_new, opt_state=tx.init(p_new),
+                       ema_params=None, step=jnp.zeros((), jnp.int32), tx=tx)
+    out = load_pretrained_params(state, str(tmp_path / "ck"), tag="best",
+                                 old_classes=old_classes,
+                                 new_classes=new_classes)
+
+    ko = np.asarray(p_old["params"]["outc"]["kernel"])
+    kn = np.asarray(out.params["params"]["outc"]["kernel"])
+    np.testing.assert_allclose(kn[..., 0], ko[..., 0])  # background
+    np.testing.assert_allclose(kn[..., 2], ko[..., 1])  # liver
+    np.testing.assert_allclose(kn[..., 3], ko[..., 2])  # pancreatic_lesion
+    # the novel class keeps its fresh init (copy_pancreas off by default)
+    np.testing.assert_allclose(
+        kn[..., 1], np.asarray(p_new["params"]["outc"]["kernel"])[..., 1])
+    # body weights transfer wholesale
+    np.testing.assert_allclose(
+        np.asarray(out.params["params"]["DownBlock_0"]["BasicBlock_0"]
+                   ["ConvNormAct_0"]["Conv_0"]["kernel"]),
+        np.asarray(p_old["params"]["DownBlock_0"]["BasicBlock_0"]
+                   ["ConvNormAct_0"]["Conv_0"]["kernel"]))

@@ -35,6 +35,11 @@ def parse_args(argv=None):
     p.add_argument("--cp_path", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--pretrained", default=None)
+    p.add_argument("--old_classes", default=None,
+                   help="donor checkpoint's class list (YAML/JSON file or "
+                        "comma-separated; sorted on load) — remaps output-"
+                        "head kernels class by class during --pretrained "
+                        "(reference --update_output_layer --old_classes)")
     p.add_argument("--all_train", action="store_true")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--class_weights", action="store_true",
