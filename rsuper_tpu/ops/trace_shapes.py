@@ -233,9 +233,22 @@ def _time_signature(sig, rng, td, interpret, iters) -> float:
         return _time.perf_counter() - t0
 
     run(1)  # compile + warm
-    t_a = run(2)
-    t_b = run(2 + iters)
-    return max(t_b - t_a, 1e-9) / iters * 1000.0
+    # The relay's fetch latency has multi-ms jitter; a span of iters×ms that
+    # doesn't clear it produces garbage (observed: 1e-7 ms for a ~0.5 ms
+    # kernel). Take the median of three two-point measurements and grow the
+    # iteration count until the measured span is comfortably above jitter.
+    n = iters
+    while True:
+        diffs = []
+        for _ in range(3):
+            t_a = run(2)
+            t_b = run(2 + n)
+            diffs.append(t_b - t_a)
+        d = sorted(diffs)[1]
+        if d >= 0.04 or n >= 400:
+            break
+        n *= 4
+    return max(d, 1e-9) / n * 1000.0
 
 
 def _assert_close(y, ref, dtype):
