@@ -13,7 +13,7 @@ while :; do
   if timeout 180 env PYTHONPATH=/root/repo:/root/.axon_site \
       python tools/tpu_probe.py >>artifacts/exp_wait.log 2>&1; then
     echo "TPU back at $(date +%H:%M:%S) — starting batch" | tee -a artifacts/exp_wait.log
-    bash tools/run_tpu_experiments.sh
+    bash "${CHAIN_SCRIPT:-tools/run_tpu_experiments.sh}"
     exit $?
   fi
   now=$(date +%s)
