@@ -481,21 +481,27 @@ class MultiHeadSelfAttention(nn.Module):
 
 
 class TransformerBlock(nn.Module):
-    """Pre-LN transformer on (B, L, C) tokens (reference ``trans_layers.py:102``)."""
+    """Pre-LN transformer on (B, L, C) tokens (reference ``trans_layers.py:102``).
+
+    ``ln_eps`` defaults to flax's 1e-6; MedFormer ``torch_port`` sets the
+    torch ``nn.LayerNorm`` default 1e-5 for imported-checkpoint parity."""
 
     depth: int
     heads: int
     dim_head: int
     mlp_dim: int
+    ln_eps: float = 1e-6
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for _ in range(self.depth):
-            h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+            h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                             param_dtype=jnp.float32)(x)
             x = x + MultiHeadSelfAttention(self.heads, self.dim_head,
                                            dtype=self.dtype)(h)
-            h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x)
+            h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                             param_dtype=jnp.float32)(x)
             x = x + Mlp(self.mlp_dim, dtype=self.dtype)(h)
         return x
 
@@ -654,22 +660,59 @@ class BasicBlockCF(nn.Module):
         return out + x
 
 
-def resize_trilinear_cf(x, size):
+def _align_corners_weights(n_out: int, n_in: int):
+    """(n_out, n_in) linear-interpolation matrix with torch
+    ``align_corners=True`` sampling: output i reads input i·(n_in−1)/(n_out−1).
+    Built in numpy at trace time (static shapes); resizing becomes one small
+    matmul per axis — MXU-friendly and exactly the torch kernel's math."""
+    import numpy as np
+
+    w = np.zeros((n_out, n_in), np.float32)
+    if n_out == 1 or n_in == 1:
+        w[:, 0] = 1.0
+        return w
+    src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    lo = np.clip(np.floor(src).astype(np.int64), 0, n_in - 2)
+    frac = (src - lo).astype(np.float32)
+    w[np.arange(n_out), lo] = 1.0 - frac
+    w[np.arange(n_out), lo + 1] = frac
+    return w
+
+
+def _resize_axes_ac(x, size, axes):
+    """Per-axis align-corners linear resample of the given axes to `size`."""
+    for ax, n_out in zip(axes, size):
+        if x.shape[ax] == n_out:
+            continue
+        w = jnp.asarray(_align_corners_weights(n_out, x.shape[ax]),
+                        dtype=x.dtype)
+        x = jnp.moveaxis(jnp.tensordot(w, x, axes=(1, ax)), 0, ax)
+    return x
+
+
+def resize_trilinear_cf(x, size, align_corners: bool = False):
     """Trilinear resize of (B, D, C, H, W) to spatial `size` = (D', H', W')
     (the C axis, position 2, is untouched — jax.image.resize only resamples
     dims whose size changes)."""
+    if align_corners:
+        return _resize_axes_ac(x, size, (1, 3, 4))
     b, c = x.shape[0], x.shape[2]
     return jax.image.resize(x, (b, size[0], c, size[1], size[2]),
                             method="linear")
 
 
-def resize_trilinear(x, size):
+def resize_trilinear(x, size, align_corners: bool = False):
     """Trilinear resize of (B, D, H, W, C) to spatial `size`.
 
-    XLA-native `jax.image.resize` (half-pixel centers). The reference uses
-    torch align_corners=True interpolation (``medformer.py:193``,
-    ``medformer_utils.py:363``); for a from-scratch framework the half-pixel
-    convention is the standard choice and trains identically.
+    XLA-native `jax.image.resize` (half-pixel centers) by default. The
+    reference uses torch align_corners=True interpolation
+    (``medformer.py:193``, ``medformer_utils.py:363``); for a from-scratch
+    framework the half-pixel convention is the standard choice and trains
+    identically — ``align_corners=True`` (MedFormer ``torch_port``) exists so
+    checkpoints imported from the reference reproduce its forward pass
+    (``models/torch_port.py``).
     """
+    if align_corners:
+        return _resize_axes_ac(x, size, (1, 2, 3))
     b, _, _, _, c = x.shape
     return jax.image.resize(x, (b, *size, c), method="linear")

@@ -14,7 +14,9 @@ TPU-first notes
   (the reference uses a transposed (dim_head, heads) view — an equivalent
   re-parameterisation of the learned projections).
 * Upsampling is XLA-native trilinear (half-pixel centers; see
-  ``layers.resize_trilinear``).
+  ``layers.resize_trilinear``). ``torch_port=True`` switches to the
+  reference's align-corners interpolation + torch norm eps so checkpoints
+  imported via ``models/torch_port.py`` reproduce its forward pass exactly.
 * Deep supervision head: 1x1x1 conv on the second decoder stage, upsampled to
   input size (reference ``medformer.py:191-195``).
 """
@@ -144,12 +146,17 @@ class BidirectionAttentionBlock(nn.Module):
     no_map_out: bool = False
     norm: str = "in"
     act: str = "relu"
+    # the reference builds these two norms straight from nn.InstanceNorm3d
+    # (medformer_utils.py:114-115) — torch default eps 1e-5, unlike its
+    # ConvNormAct's explicit 1e-4. torch_port mirrors that for imported
+    # checkpoints; our default keeps the uniform 1e-4.
+    norm_eps: float = 1e-4
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, sem):
-        feat = instance_norm(x)
-        mapp = instance_norm(sem)
+        feat = instance_norm(x, self.norm_eps)
+        mapp = instance_norm(sem, self.norm_eps)
         out, map_out = BidirectionAttention(
             self.map_dim, self.out_dim, self.heads, self.dim_head,
             map_size=self.map_size, proj_type=self.proj_type,
@@ -185,6 +192,7 @@ class BasicLayer(nn.Module):
     no_map_out: bool = False
     norm: str = "in"
     act: str = "relu"
+    norm_eps: float = 1e-4
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -196,7 +204,8 @@ class BasicLayer(nn.Module):
                 expansion=self.expansion, map_size=self.map_size,
                 proj_type=self.proj_type, kernel_size=self.kernel_size,
                 no_map_out=self.no_map_out and last,
-                norm=self.norm, act=self.act, dtype=self.dtype,
+                norm=self.norm, act=self.act, norm_eps=self.norm_eps,
+                dtype=self.dtype,
             )(x, sem)
         return x, sem
 
@@ -222,6 +231,9 @@ class PatchMerging(nn.Module):
     down_scale: Tuple[int, int, int] = (2, 2, 2)
     proj_type: str = "depthwise"
     kernel_size: Any = 3
+    # reference PatchMerging norms with torch-default eps (1e-5,
+    # medformer_utils.py:162) — torch_port parity knob
+    norm_eps: float = 1e-4
     dtype: Dtype = jnp.float32
 
     # input arrives depth-major channel-first (B, D, C, H, W) — static
@@ -243,12 +255,12 @@ class PatchMerging(nn.Module):
             # (D', H', W') reductions of the split view, and the elementwise
             # apply commutes with the transpose — so the big space-to-depth
             # copy runs in the compute dtype, not f32 (instance_norm_axes)
-            x = instance_norm_axes(x, (1, 4, 6))
+            x = instance_norm_axes(x, (1, 4, 6), self.norm_eps)
             x = x.transpose(0, 1, 4, 6, 2, 5, 7, 3)
         else:
             b, d, h, w, c = x.shape
             x = x.reshape(b, d // sd, sd, h // sh, sh, w // sw, sw, c)
-            x = instance_norm_axes(x, (1, 3, 5))
+            x = instance_norm_axes(x, (1, 3, 5), self.norm_eps)
             x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
         x = x.reshape(b, d // sd, h // sh, w // sw, sd * sh * sw * c)
         if self.proj_type == "depthwise":
@@ -286,13 +298,15 @@ class DownBlockMF(nn.Module):
     # nothing downstream in this block needs channels-last (no semantic map,
     # no attention). The caller must compute the same gate via cf_convs_ok.
     cf_output: bool = False
+    torch_port: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        block_eps = 1e-5 if self.torch_port else 1e-4
         x = PatchMerging(self.out_dim, self.down_scale, self.proj_type,
-                         self.kernel_size, dtype=self.dtype,
-                         cf_input=self.cf_input)(x)
+                         self.kernel_size, norm_eps=block_eps,
+                         dtype=self.dtype, cf_input=self.cf_input)(x)
         use_cf = self.cf_convs and cf_convs_ok(
             self.conv_num, self.conv_block, self.norm, self.kernel_size,
             x.shape[2], x.shape[3], jnp.dtype(self.dtype).itemsize,
@@ -325,7 +339,8 @@ class DownBlockMF(nn.Module):
                 self.trans_num, self.out_dim, self.out_dim, self.heads,
                 self.dim_head, expansion=self.expansion, map_size=self.map_size,
                 proj_type=self.proj_type, kernel_size=self.kernel_size,
-                norm=self.norm, act=self.act, dtype=self.dtype,
+                norm=self.norm, act=self.act, norm_eps=block_eps,
+                dtype=self.dtype,
             )(x, sem)
         return x, sem
 
@@ -348,11 +363,13 @@ class UpBlockMF(nn.Module):
     act: str = "relu"
     map_shortcut: bool = False
     no_map_out: bool = False
+    torch_port: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_low, x_skip, map_low, map_skip=None):
-        x = resize_trilinear(x_low, x_skip.shape[1:4]).astype(x_low.dtype)
+        x = resize_trilinear(x_low, x_skip.shape[1:4],
+                             align_corners=self.torch_port).astype(x_low.dtype)
         feat = jnp.concatenate([x, x_skip.astype(x.dtype)], axis=-1)
 
         if self.map_shortcut and map_skip is not None:
@@ -368,6 +385,7 @@ class UpBlockMF(nn.Module):
                 self.dim_head, expansion=self.expansion, map_size=self.map_size,
                 proj_type=self.proj_type, kernel_size=self.kernel_size,
                 no_map_out=self.no_map_out, norm=self.norm, act=self.act,
+                norm_eps=1e-5 if self.torch_port else 1e-4,
                 dtype=self.dtype,
             )(feat, sem)
         Block = BLOCKS[self.conv_block]
@@ -392,12 +410,14 @@ class UpBlockCF(nn.Module):
     conv_num: int
     norm: str = "in"
     act: str = "relu"
+    torch_port: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_low_cf, x_skip_cf, map_low, map_skip=None):
         sk = x_skip_cf.shape
-        x = resize_trilinear_cf(x_low_cf, (sk[1], sk[3], sk[4])).astype(
+        x = resize_trilinear_cf(x_low_cf, (sk[1], sk[3], sk[4]),
+                                align_corners=self.torch_port).astype(
             x_low_cf.dtype
         )
         feat = jnp.concatenate([x, x_skip_cf.astype(x.dtype)], axis=2)
@@ -414,6 +434,7 @@ class SemanticMapFusion(nn.Module):
     dim: int
     heads: int
     depth: int = 2
+    ln_eps: float = 1e-6
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -427,7 +448,8 @@ class SemanticMapFusion(nn.Module):
             toks.append(t.reshape(b, -1, self.dim))
         lens = [t.shape[1] for t in toks]
         fused = TransformerBlock(self.depth, self.heads, self.dim // self.heads,
-                                 self.dim, dtype=self.dtype)(
+                                 self.dim, ln_eps=self.ln_eps,
+                                 dtype=self.dtype)(
             jnp.concatenate(toks, axis=1)
         )
         outs = []
@@ -452,6 +474,7 @@ class ClassificationBranch(nn.Module):
     heads: int = 4
     dim_head: int = 16
     mlp_dim: int = 320
+    ln_eps: float = 1e-6
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -461,7 +484,7 @@ class ClassificationBranch(nn.Module):
                     param_dtype=jnp.float32)(x)
         t = x.reshape(b, -1, self.reduced_dim)
         t = TransformerBlock(1, self.heads, self.dim_head, self.mlp_dim,
-                             dtype=self.dtype)(t)
+                             ln_eps=self.ln_eps, dtype=self.dtype)(t)
         t = jnp.mean(t, axis=1)
         return nn.Dense(self.num_outputs, dtype=jnp.float32,
                         param_dtype=jnp.float32)(t)
@@ -502,6 +525,12 @@ class MedFormer(nn.Module):
     # the multi-row depth tiles (conv_cf TD) amortise the tiny-row grid
     # overhead that made single-row CF lose there (8.66 → 9.62 patches/s)
     cf_halfres: bool = True
+    # reproduce the reference torch model's exact numerics for checkpoints
+    # imported via models/torch_port.py: align_corners=True upsampling
+    # (medformer_utils.py:363) and torch-default eps (1e-5) in the norms the
+    # reference does NOT build through ConvNormAct. Training from scratch
+    # keeps the defaults (half-pixel, uniform 1e-4).
+    torch_port: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -556,6 +585,7 @@ class MedFormer(nn.Module):
                 cf_convs=self.cf_halfres and i == 0,
                 cf_input=cf_input,
                 cf_output=cf_output,
+                torch_port=self.torch_port,
                 dtype=self.dtype,
             )(inp)
 
@@ -590,10 +620,13 @@ class MedFormer(nn.Module):
                 map_size=self.map_size, proj_type=self.proj_type,
                 kernel_size=self.kernel_size[4], conv_block=self.conv_block,
                 norm=self.norm, act=self.act, map_generate=True,
+                torch_port=self.torch_port,
                 dtype=self.dtype, name="cls_extra",
             )(x4)
-            y_class = ClassificationBranch(self.classification_classes,
-                                           dtype=self.dtype, name="cls_branch")(feats)
+            y_class = ClassificationBranch(
+                self.classification_classes,
+                ln_eps=1e-5 if self.torch_port else 1e-6,
+                dtype=self.dtype, name="cls_branch")(feats)
         y_clip = None
         if self.clip_branch:
             feats, _ = DownBlockMF(
@@ -602,13 +635,16 @@ class MedFormer(nn.Module):
                 map_size=self.map_size, proj_type=self.proj_type,
                 kernel_size=self.kernel_size[4], conv_block=self.conv_block,
                 norm=self.norm, act=self.act, map_generate=True,
+                torch_port=self.torch_port,
                 dtype=self.dtype, name="clip_extra",
             )(x4)
-            y_clip = ClassificationBranch(self.clip_feats, dtype=self.dtype,
-                                          name="clip_branch")(feats)
+            y_clip = ClassificationBranch(
+                self.clip_feats, ln_eps=1e-5 if self.torch_port else 1e-6,
+                dtype=self.dtype, name="clip_branch")(feats)
 
         map2, map3, map4 = SemanticMapFusion(
             self.fusion_dim, self.fusion_heads, depth=self.fusion_depth,
+            ln_eps=1e-5 if self.torch_port else 1e-6,
             dtype=self.dtype,
         )([map2, map3, map4])
 
@@ -619,7 +655,7 @@ class MedFormer(nn.Module):
                 proj_type=self.proj_type, kernel_size=self.kernel_size[7 - i],
                 conv_block=self.conv_block, norm=self.norm, act=self.act,
                 map_shortcut=map_shortcut, no_map_out=no_map_out,
-                dtype=self.dtype,
+                torch_port=self.torch_port, dtype=self.dtype,
             )(a, b_skip, m1, m2)
 
         out, sem = up(4, x4, x3, map4, map3, True)
@@ -629,13 +665,15 @@ class MedFormer(nn.Module):
         if self.aux_loss:
             a = nn.Conv(self.num_classes, (1, 1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32, name="aux_out")(out)
-            aux = resize_trilinear(a, x.shape[1:4])
+            aux = resize_trilinear(a, x.shape[1:4],
+                                   align_corners=self.torch_port)
 
         if use_cf:
             UpCF = nn.remat(UpBlockCF) if self.remat else UpBlockCF
             if self.cf_halfres and tn[6] == 0:
                 out_cf, sem = UpCF(
                     ch[6], cn[6], norm=self.norm, act=self.act,
+                    torch_port=self.torch_port,
                     dtype=self.dtype, name="UpBlockMF_2",
                 )(jnp.moveaxis(out, -1, 2),
                   x1_cf if cf1 else jnp.moveaxis(x1, -1, 2), sem, None)
@@ -644,6 +682,7 @@ class MedFormer(nn.Module):
                 out_cf = jnp.moveaxis(out, -1, 2)
             out_cf, sem = UpCF(
                 ch[7], cn[7], norm=self.norm, act=self.act,
+                torch_port=self.torch_port,
                 dtype=self.dtype, name="UpBlockMF_3",
             )(out_cf, x0_cf, sem, None)
             logits = jnp.moveaxis(
