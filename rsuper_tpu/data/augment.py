@@ -191,7 +191,17 @@ def _sample_window(vol, theta, out_size, start, order: int):
     offset, but touches `prod(out_size)` output voxels instead of the whole
     margined load volume (2.4× fewer gathers at the 116·136² → 96³ shapes
     the train pipeline uses; docs/perf.md lever 2)."""
-    full = vol.shape[:3]
+    vox = _window_vox(vol.shape[:3], theta, out_size, start)
+    out = jax.scipy.ndimage.map_coordinates(
+        vol.astype(jnp.float32), list(vox), order=order, mode="constant",
+        cval=0.0,
+    )
+    return out.reshape(out_size)
+
+
+def _window_vox(full, theta, out_size, start):
+    """(3, N) fractional source-voxel coords of the `out_size` window of the
+    affine output grid (shared helper of the sampler variants)."""
     axes = [
         jnp.linspace(-1.0, 1.0, n)[s : s + o]
         for n, o, s in zip(full, out_size, start)
@@ -200,12 +210,29 @@ def _sample_window(vol, theta, out_size, start, order: int):
     coords = jnp.stack([zz, yy, xx, jnp.ones_like(zz)], axis=0).reshape(4, -1)
     src = theta @ coords
     shp = jnp.asarray(full, jnp.float32)
-    vox = (src + 1.0) * 0.5 * (shp[:, None] - 1.0)
-    out = jax.scipy.ndimage.map_coordinates(
-        vol.astype(jnp.float32), list(vox), order=order, mode="constant",
-        cval=0.0,
+    return (src + 1.0) * 0.5 * (shp[:, None] - 1.0)
+
+
+def _nearest_window_multichannel(vol, theta, out_size, start):
+    """Order-0 window sampling of ALL channels of (D, H, W, C) with ONE
+    shared flat-index gather — bitwise-identical to per-channel
+    ``map_coordinates(order=0)`` (same round-half-to-even), but the index
+    arithmetic runs once and the gather pulls C-channel rows, instead of C
+    full gathers (the packed-mask warp was ~nwords × the image's gather
+    count; this makes it ~1×)."""
+    D, H, W, C = vol.shape
+    vox = _window_vox((D, H, W), theta, out_size, start)
+    idx = jnp.round(vox)  # round-half-even, matching map_coordinates order=0
+    valid = jnp.all(
+        (idx >= 0.0)
+        & (idx <= jnp.asarray([D - 1, H - 1, W - 1], jnp.float32)[:, None]),
+        axis=0,
     )
-    return out.reshape(out_size)
+    ii = jnp.clip(idx, 0.0).astype(jnp.int32)
+    flat = (ii[0] * H + ii[1]) * W + ii[2]
+    got = jnp.take(vol.reshape(-1, C), jnp.where(valid, flat, 0), axis=0)
+    got = jnp.where(valid[:, None], got, jnp.zeros_like(got))
+    return got.reshape(*out_size, C)
 
 
 @partial(jax.jit, static_argnames=("out_size", "start", "order"))
@@ -214,6 +241,9 @@ def affine_sample_window(vol, theta, out_size, start, order: int = 1):
     (D,H,W) or (D,H,W,C). Equals ``affine_sample(vol, theta)[window]``."""
     if vol.ndim == 3:
         return _sample_window(vol, theta, out_size, start, order).astype(vol.dtype)
+    if order == 0:
+        return _nearest_window_multichannel(vol, theta, out_size,
+                                            start).astype(vol.dtype)
     out = jax.vmap(lambda c: _sample_window(c, theta, out_size, start, order),
                    in_axes=-1, out_axes=-1)(vol)
     return out.astype(vol.dtype)

@@ -687,3 +687,31 @@ def test_host_augment_transform_end_to_end():
     out0 = t0(rec0, np.random.default_rng(2))
     assert np.array_equal(out0["label"],
                           rec["label"][6:30, 8:32, 8:32])
+
+
+def test_nearest_window_multichannel_bitwise():
+    """The shared-index multi-channel order-0 sampler must be BITWISE equal
+    to per-channel map_coordinates (same round-half-even, same constant-0
+    out-of-bounds) — it only de-duplicates the index arithmetic."""
+    import jax
+    import jax.numpy as jnp
+
+    from rsuper_tpu.data.augment import (
+        _affine_theta,
+        _sample_window,
+        affine_sample_window,
+    )
+
+    rng = np.random.default_rng(11)
+    lab = jnp.asarray(rng.random((18, 26, 24, 5)).astype(np.float32))
+    theta = _affine_theta(jax.random.PRNGKey(9), (0.2, 0.2, 0.2),
+                          (30.0, 30.0, 30.0), (0.1, 0.1, 0.1),
+                          (0.0, 0.0, 0.0))
+    crop = (10, 14, 12)
+    starts = tuple((s - c) // 2 for s, c in zip(lab.shape[:3], crop))
+    got = affine_sample_window(lab, theta, crop, starts, order=0)
+    ref = jax.vmap(
+        lambda c: _sample_window(c, theta, crop, starts, 0),
+        in_axes=-1, out_axes=-1,
+    )(lab)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
