@@ -36,6 +36,12 @@ from .dataset import RSuperDataset, to_channels_last
 # the two lowering variants can be timed against each other. Trace-time
 # only (jitted graphs don't re-read the environment).
 _FULLWARP = bool(os.environ.get("RSUPER_AUG_FULLWARP"))
+# RSUPER_AUG_SHEAR=1: warp the IMAGE with the shear-decomposed batched-matmul
+# pipeline (ops/shear_warp.py) instead of the map_coordinates gather — the
+# same affine map on the MXU instead of ~8 gathers/voxel. Labels keep the
+# exact packed nearest gather either way. Opt-in until A/B-validated on
+# hardware (multi-pass lerp smooths slightly more than one trilinear).
+_SHEAR = bool(os.environ.get("RSUPER_AUG_SHEAR"))
 
 
 _BITS = 24  # binary channels per float32 word (exact integers up to 2^24)
@@ -168,8 +174,15 @@ def _augment_items(
                                 crop_size),
                     center_crop(affine_sample(w, theta, order=0), crop_size),
                 )
+            if _SHEAR:
+                from ..ops.shear_warp import shear_affine_window
+
+                img_w = shear_affine_window(img3, theta, crop_size, starts)
+            else:
+                img_w = affine_sample_window(img3, theta, crop_size, starts,
+                                             order=1)
             return (
-                affine_sample_window(img3, theta, crop_size, starts, order=1),
+                img_w,
                 affine_sample_window(w, theta, crop_size, starts, order=0),
             )
 
