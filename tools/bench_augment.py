@@ -61,8 +61,13 @@ def main():
         # fetch a scalar: block_until_ready through the relay is unreliable
         float(jnp.sum(out["image"]))
     dt = (time.perf_counter() - t0) / reps
+    suffix = ""
+    if os.environ.get("RSUPER_AUG_FULLWARP"):
+        suffix = "_fullwarp"
+    elif os.environ.get("RSUPER_AUG_SHEAR"):
+        suffix = "_shear"
     print(json.dumps({
-        "metric": "device_augment_ms_per_step",
+        "metric": "device_augment_ms_per_step" + suffix,
         "value": round(dt * 1e3, 2),
         "unit": f"ms per {B}x{load} -> {crop} augment (TPU)",
     }))
