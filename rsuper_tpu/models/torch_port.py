@@ -53,29 +53,50 @@ def _t_conv(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 4, 1, 0))
 
 
+def _t_conv_inv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (4, 3, 0, 1, 2))
+
+
+_t_conv.inv = _t_conv_inv
+_t_conv_inv.inv = _t_conv
+
+
 def _t_linear(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 0))
+
+
+_t_linear.inv = _t_linear  # 2-D transpose is an involution
 
 
 def _ident(w: np.ndarray) -> np.ndarray:
     return np.asarray(w)
 
 
+_ident.inv = _ident
+
+
 def _perm_inner(heads: int, dim_head: int, axis: int,
                 blocks: int = 1) -> Transform:
     """Reorder an `inner = heads*dim_head`-sized axis from the reference's
     dim_head-major channel factorisation to our head-major one. `blocks` = 2
-    for the stacked q,v output channels (each permuted independently)."""
+    for the stacked q,v output channels (each permuted independently).
+    ``.inv`` is the opposite reordering (used by the flax→torch export)."""
 
-    def f(w: np.ndarray) -> np.ndarray:
-        w = np.asarray(w)
-        ax = axis % w.ndim
-        shape = w.shape
-        split = shape[:ax] + (blocks, dim_head, heads) + shape[ax + 1:]
-        w = w.reshape(split)
-        w = np.swapaxes(w, ax + 1, ax + 2)
-        return w.reshape(shape)
+    def make(d0: int, d1: int):
+        def f(w: np.ndarray) -> np.ndarray:
+            w = np.asarray(w)
+            ax = axis % w.ndim
+            shape = w.shape
+            split = shape[:ax] + (blocks, d0, d1) + shape[ax + 1:]
+            w = w.reshape(split)
+            w = np.swapaxes(w, ax + 1, ax + 2)
+            return w.reshape(shape)
 
+        return f
+
+    f = make(dim_head, heads)
+    f.inv = make(heads, dim_head)
+    f.inv.inv = f
     return f
 
 
@@ -85,6 +106,12 @@ def _chain(*fns: Transform) -> Transform:
             w = fn(w)
         return w
 
+    def inv(w):
+        for fn in reversed(fns):
+            w = fn.inv(w)
+        return w
+
+    f.inv = inv
     return f
 
 
@@ -340,6 +367,27 @@ def convert_state_dict(
         raise KeyError(
             f"{len(missing)} torch keys missing (first 10): {missing[:10]}")
     return params, missing, unused
+
+
+def export_state_dict(params: Dict[str, Any], **map_kwargs
+                      ) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_state_dict`: a flax ``params`` tree →
+    reference torch state_dict arrays (load with
+    ``model.load_state_dict({k: torch.from_numpy(v) ...})``). Lets weights
+    trained here flow back to the reference stack; exact roundtrip
+    (``test_torch_port.py::test_roundtrip_export``)."""
+    entries = medformer_key_map(**map_kwargs)
+    out: Dict[str, np.ndarray] = {}
+    for tk, path, transform in entries:
+        node = params
+        for p in path:
+            if p not in node:
+                raise KeyError(
+                    f"flax param {'/'.join(path)} (for torch key {tk}) "
+                    "missing — check the map kwargs match the model config")
+            node = node[p]
+        out[tk] = transform.inv(np.asarray(node, dtype=np.float32))
+    return out
 
 
 def verify_against_template(params: Dict[str, Any],

@@ -154,3 +154,16 @@ def test_align_corners_resize_matches_torch():
         np.asarray(resize_trilinear(jnp.asarray(x), (9, 10, 11),
                                     align_corners=True)), -1, 1)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_roundtrip_export(ref_and_converted):
+    """flax→torch export inverts the import exactly: every torch tensor
+    survives convert→export bitwise."""
+    tm, params = ref_and_converted
+    from rsuper_tpu.models.torch_port import export_state_dict
+
+    state = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    back = export_state_dict(params, classification=True, **TINY)
+    assert set(back) == set(state)
+    for k in state:
+        np.testing.assert_array_equal(back[k], state[k], err_msg=k)
