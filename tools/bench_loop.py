@@ -159,6 +159,29 @@ def main():
                             pack_masks=augment_fn is not None)
     aug_key = jax.random.PRNGKey(1)
 
+    # decompose: pure H2D cost of one loader batch (the axon relay tunnels
+    # device transfers over the network, so on this rig H2D can dominate the
+    # loop; on a real host it is PCIe/local — report it separately so the
+    # e2e number is attributable)
+    from rsuper_tpu.data.dataset import to_channels_last
+    from rsuper_tpu.data.pipeline import pack_record_masks
+
+    probe_rng = np.random.default_rng(0)
+    probe = to_channels_last(dataset.sample(0, probe_rng))
+    if transform is not None:
+        probe = transform(probe, probe_rng)
+    elif loader.pack_masks:
+        probe = pack_record_masks(dict(probe), loader.image_transfer_dtype)
+    h2d_bytes = sum(np.asarray(v).nbytes for v in probe.values())
+    dev = jax.devices()[0]
+    for _ in range(2):  # warm the transfer path
+        jax.block_until_ready(jax.device_put(probe, dev))
+    t = time.time()
+    reps = 3
+    for _ in range(reps):
+        jax.block_until_ready(jax.device_put(probe, dev))
+    h2d_ms = (time.time() - t) / reps * 1e3
+
     n = 0
     t0 = None
     losses = None
@@ -186,6 +209,8 @@ def main():
         "unit": f"{S}^3 patches/s/chip (loader+h2d+augment+step, "
                 f"{steps} steps)",
         "loss": round(final, 4),
+        "h2d_ms_per_item": round(h2d_ms, 1),
+        "h2d_mb_per_item": round(h2d_bytes / 1e6, 1),
     }))
 
 
