@@ -33,6 +33,8 @@ STAGES = [
     "probe", "calibcheck", "smoke", "bench96", "bench128", "augment",
     "augment_fullwarp", "loop_device", "loop_host", "loop_off", "infer",
     "profile96", "profile_infer",
+    # round-4c augment A/B (tools/round4c_chain.sh)
+    "augment_r4c", "augment_shear", "loop_shear",
 ]
 
 
