@@ -223,4 +223,65 @@ int rsuper_nifti_scale_cast_f32(const uint8_t* src, int dtype_code, int64_t n,
   }
 }
 
+// Fused channel-first → packed channels-last mask transfer encode.
+//
+// The train loader ships the three one-hot mask stacks (label / unk /
+// segment, each (C, N) channel-first uint8 straight out of the dataset) to
+// the device as ONE bit-packed channels-last byte plane: voxel v, channel j
+// (j < C label, < 2C unk, else segment) lands at bit (j & 7) of byte
+// out[v * W8 + (j >> 3)] with W8 = ceil(3C / 8) — exactly
+// np.packbits(concat(moveaxis(...)), bitorder='little'). Doing it in one
+// pass replaces a moveaxis + concatenate + packbits chain that copies the
+// 3·C·N uint8 stack four times on the 1-core loader host (the steady-state
+// training bottleneck; reference train_ddp.py:114 never packs — it feeds a
+// local PCIe GPU). nullptr unk/seg mean all-zero (mask-only cases) and are
+// skipped entirely.
+int rsuper_pack_masks_cl(const uint8_t* label, const uint8_t* unk,
+                         const uint8_t* seg, int64_t C, int64_t N,
+                         uint8_t* out, int nthreads) {
+  if (!label || !out || C < 1 || N < 1) return -1;
+  if (nthreads <= 0) nthreads = default_threads();
+  const int64_t W8 = (3 * C + 7) / 8;
+  const uint8_t* stacks[3] = {label, unk, seg};
+  parallel_for(N, nthreads, [&](int64_t lo, int64_t hi) {
+    for (int64_t byte = 0; byte < W8; ++byte) {
+      // the 8 channel planes feeding this output byte (nullptr stacks and
+      // tail bits contribute fixed zeros)
+      const uint8_t* planes[8];
+      int live = 0;
+      uint8_t bits[8];
+      for (int k = 0; k < 8; ++k) {
+        const int64_t j = byte * 8 + k;
+        if (j >= 3 * C) break;
+        const uint8_t* base = stacks[j / C];
+        if (!base) continue;
+        planes[live] = base + (j % C) * N;
+        bits[live++] = uint8_t(1u << k);
+      }
+      uint8_t* o = out + lo * W8 + byte;
+      if (live == 8) {
+        // full-byte fast path: branchless 8-stream compose the compiler can
+        // unroll/vectorise (every byte lands here when 8 | 3·C and no stack
+        // is null — the production 16-class case)
+        const uint8_t *p0 = planes[0], *p1 = planes[1], *p2 = planes[2],
+                      *p3 = planes[3], *p4 = planes[4], *p5 = planes[5],
+                      *p6 = planes[6], *p7 = planes[7];
+        for (int64_t v = lo; v < hi; ++v, o += W8)
+          *o = uint8_t((p0[v] != 0) | (p1[v] != 0) << 1 | (p2[v] != 0) << 2 |
+                       (p3[v] != 0) << 3 | (p4[v] != 0) << 4 |
+                       (p5[v] != 0) << 5 | (p6[v] != 0) << 6 |
+                       (p7[v] != 0) << 7);
+      } else {
+        for (int64_t v = lo; v < hi; ++v, o += W8) {
+          uint8_t acc = 0;
+          for (int p = 0; p < live; ++p)
+            acc |= bits[p] & uint8_t(-(planes[p][v] != 0));
+          *o = acc;
+        }
+      }
+    }
+  });
+  return 0;
+}
+
 }  // extern "C"

@@ -60,6 +60,11 @@ class TrainConfig:
     # DataLoader-worker model: on a many-core TPU-VM host the augmentation
     # overlaps with the train step instead of serialising with it on-chip
     host_augment: bool = False
+    # device-resident input prefetch depth: a transfer thread device_puts
+    # (and dispatches the augment for) batch N+1 while step N runs
+    # (data/pipeline.DevicePrefetcher). 0 = inline transfers (round-4
+    # behaviour, for A/B)
+    device_prefetch: int = 2
     # losses (see losses.dispatcher.LossConfig)
     loss: str = "ball_dice_last"
     aux_weight: Tuple[float, ...] = (0.5, 0.5)

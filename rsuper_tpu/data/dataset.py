@@ -189,10 +189,12 @@ class RSuperDataset:
             image, labels, lesion_idx, size, tumor_case,
             foreground_classes=self.cfg.foreground_class_indices(), rng=rng,
         )
-        zeros = np.zeros_like(lab)
+        # np.zeros = calloc (lazy zero pages) — zeros_like's empty+copyto
+        # touches all 3·C·N bytes on the 1-core loader host
+        zeros = np.zeros(lab.shape, np.uint8)
         return {
             "image": img,
-            "label": lab.astype(np.uint8),
+            "label": np.ascontiguousarray(lab, np.uint8),
             "unk": zeros,
             "segment_mask": zeros,
             "volumes": np.zeros((rep.MAX_TUMORS,), np.float32),

@@ -142,8 +142,10 @@ def intensity_augment_np(img: np.ndarray, rng: np.random.Generator,
         img = np.clip((img - mean) * rng.uniform(0.7, 1.3) + mean, mn, mx)
     if rng.uniform() < p:  # gaussian blur
         sigma = rng.uniform(0.5, 1.5)
-        # device path uses a static radius ceil(2.5*max_sigma)=4; match it
-        img = ndimage.gaussian_filter(img, sigma, truncate=4.0 / sigma)
+        # device path uses a static radius ceil(2.5*max_sigma)=4 and
+        # zero-pads borders (lax conv); match both
+        img = ndimage.gaussian_filter(img, sigma, truncate=4.0 / sigma,
+                                      mode="constant", cval=0.0)
     if rng.uniform() < p:  # gaussian noise
         img = img + rng.normal(0.0, rng.uniform(0.0, noise_std_max),
                                img.shape).astype(np.float32)

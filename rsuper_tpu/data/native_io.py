@@ -47,6 +47,9 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
     ]
     lib.rsuper_nifti_scale_cast_f32.restype = ctypes.c_int
+    lib.rsuper_pack_masks_cl.argtypes = [u8p, u8p, u8p, i64, i64, u8p,
+                                         ctypes.c_int]
+    lib.rsuper_pack_masks_cl.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -101,6 +104,42 @@ def clip_zscore(
         lo, hi, nthreads,
     )
     return arr if rc == 0 else None
+
+
+def pack_masks_cl(label: np.ndarray, unk: Optional[np.ndarray],
+                  seg: Optional[np.ndarray],
+                  nthreads: int = 0) -> Optional[np.ndarray]:
+    """Fused channel-first → packed channels-last mask encode: (C, D, H, W)
+    uint8 stacks (unk/seg ``None`` = all-zero) → (D, H, W, ceil(3C/8)) bytes
+    in ``np.packbits(..., bitorder='little')`` layout. One pass, no
+    moveaxis/concat temporaries — the loader-host hot path. None if the
+    native library is absent (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    label = np.ascontiguousarray(label, np.uint8)
+    C = label.shape[0]
+    spatial = label.shape[1:]
+    N = int(np.prod(spatial))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def ptr(a):
+        if a is None:
+            return None
+        a = np.ascontiguousarray(a, np.uint8)
+        assert a.shape == label.shape
+        return a, a.ctypes.data_as(u8p)
+
+    unk_h = ptr(unk)  # hold refs so the buffers outlive the call
+    seg_h = ptr(seg)
+    out = np.empty(spatial + ((3 * C + 7) // 8,), np.uint8)
+    rc = lib.rsuper_pack_masks_cl(
+        label.ctypes.data_as(u8p),
+        unk_h[1] if unk_h else None,
+        seg_h[1] if seg_h else None,
+        C, N, out.ctypes.data_as(u8p), nthreads,
+    )
+    return out if rc == 0 else None
 
 
 _NIFTI_ITEMSIZE = {2: 1, 4: 2, 8: 4, 16: 4, 64: 8, 512: 2}

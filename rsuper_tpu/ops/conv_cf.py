@@ -535,8 +535,11 @@ def _pick_th(H: int, W: int, Cmax: int) -> int:
     """H rows per tile: big tiles amortise halo/grid overhead; the (3·C, L)
     patch, the accumulator, and (formulation "d") the (3·C, L) f32 dot
     output must stay well inside scoped VMEM. The 6·C factor covers the
-    worst of both formulations and picks the same TH as the old 4·C factor
-    at every production shape (the candidates are octave-spaced)."""
+    worst of both formulations; it is NOT TH-neutral vs the old 4·C factor
+    (at Cmax=96, W=128 — the 128³ 64→96 H-tiled conv — TH drops 16→8), so
+    the measured HT form verdicts are keyed to the TH they were timed at
+    (vmem_table.CALIBRATED_TH); _pick_form_ht discards a verdict whose TH
+    no longer matches."""
     for th in (64, 32, 16, 8, 4, 2, 1):
         if H % th == 0 and 6 * Cmax * th * W * 4 <= 4_000_000:
             return th
@@ -660,14 +663,20 @@ def _resolve_plane(D: int, S: int, Ci: int, Co: int, itemsize: int,
         return form, td
     form = PREFERRED_FORM.get(key)
     if form is None:
-        est = _td_vmem_est(1, S, Ci, Co, itemsize, wgrad, "d")
-        if fused:
-            est += 3 * Ci * S * 4
-        form = "d" if est <= _TD_VMEM_BUDGET else "a"
+        # Unmeasured signature: form "a" is the only formulation proven to
+        # lower at every calibrated signature; "d" failed Mosaic lowering
+        # outright at four production plane signatures the analytic VMEM
+        # estimate accepted (round-4c smoke, MEASURED_TD cap 0). Never pick
+        # "d" from the estimate alone — only with a measured cap > 0.
+        form = "d" if MEASURED_TD.get(("d",) + key, 0) else "a"
     td = best_td(form)
     if td == 0:  # measured: this formulation cannot lower — use the other
-        form = "a" if form == "d" else "d"
-        td = max(best_td(form), 1)
+        other = "a" if form == "d" else "d"
+        if other == "d" and not MEASURED_TD.get(("d",) + key, 0):
+            td = 1  # keep "a" at minimum rows rather than gamble on "d"
+        else:
+            form = other
+            td = max(best_td(form), 1)
     if _td_override is not None:
         td = _td_override
     return form, td
@@ -676,14 +685,17 @@ def _resolve_plane(D: int, S: int, Ci: int, Co: int, itemsize: int,
 def _pick_form_ht(kind: str, H: int, W: int, Ci: int, Co: int,
                   itemsize: int, fused: bool, TH: int) -> str:
     """Dot formulation for the H-tiled kernels: measured-faster form when
-    calibrated, else "d" only when its (3·C_out, (TH+2)·W) f32 dot output
-    clearly fits the per-tile budget."""
-    from .vmem_table import PREFERRED_FORM_HT
+    calibrated AT THE LIVE TH (a verdict timed at a different tile height
+    is stale — discarded so a _pick_th change forces recalibration), else
+    "d" only when its (3·C_out, (TH+2)·W) f32 dot output clearly fits the
+    per-tile budget."""
+    from .vmem_table import CALIBRATED_TH, PREFERRED_FORM_HT
 
     if _form_override is not None:
         return _form_override
-    form = PREFERRED_FORM_HT.get((kind, H, W, Ci, Co, itemsize, bool(fused)))
-    if form is not None:
+    key = (kind, H, W, Ci, Co, itemsize, bool(fused))
+    form = PREFERRED_FORM_HT.get(key)
+    if form is not None and CALIBRATED_TH.get(key, TH) == TH:
         return form
     return "d" if 3 * Co * (TH + 2) * W * 4 <= 4_000_000 else "a"
 

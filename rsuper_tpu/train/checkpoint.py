@@ -124,7 +124,13 @@ def parse_class_list(spec: str):
 
             classes = json.loads(text)
         if isinstance(classes, dict):  # tolerate {'classes': [...]} wrappers
-            classes = classes.get("classes", list(classes.values())[0])
+            classes = classes.get("classes")
+        if not isinstance(classes, (list, tuple)):
+            # guessing (e.g. values()[0] of a {name: index} mapping) would
+            # silently yield a wrong class ordering for head surgery
+            raise ValueError(
+                f"{spec}: expected a YAML/JSON list of class names or a "
+                "{'classes': [...]} mapping")
     else:
         classes = [c for c in spec.split(",") if c.strip()]
     return sorted(str(c).strip() for c in classes)

@@ -250,24 +250,43 @@ def train(
             # (pipeline.pack_record_masks — ~6.5× fewer bytes per step)
             pack_masks=augment_fn is not None,
         )
+        aug_key, epoch_key = jax.random.split(aug_key)
+        if cfg.device_prefetch > 0:
+            # overlap transfer + augment dispatch with the running step
+            # (pipeline.DevicePrefetcher); the feeder draws the same
+            # deterministic key sequence on every process
+            from ..data.pipeline import DevicePrefetcher
+
+            batches = DevicePrefetcher(
+                loader, mesh, depth=cfg.device_prefetch,
+                augment_fn=augment_fn, key=epoch_key,
+                global_batch=cfg.batch_size,
+            )
+        else:
+            def _inline(loader=loader, epoch_key=epoch_key):
+                key = epoch_key
+                for batch in loader:
+                    key, k = jax.random.split(key)
+                    # same key on every process (same seed) -> identical
+                    # global key table; each process contributes its slice
+                    item_keys = global_key_slices(
+                        jax.random.split(k, cfg.batch_size), mesh
+                    )
+                    with timer.phase("h2d"):
+                        batch = local_batch_to_global(batch, mesh)
+                    if augment_fn is not None:
+                        with timer.phase("augment"):
+                            batch = augment_fn(batch, item_keys)
+                    yield batch
+
+            batches = _inline()
         loss_meter = AverageMeter("loss")
         t_meter = AverageMeter("s/it")
         t0 = time.time()
         check_every = max(1, cfg.nan_check_every)
-        for batch in loader:
+        for batch in batches:
             if tracer is not None:
                 tracer.step(total_steps)
-            aug_key, k = jax.random.split(aug_key)
-            # same aug_key on every process (same seed) -> identical global
-            # key table; each process contributes its slice
-            item_keys = global_key_slices(
-                jax.random.split(k, cfg.batch_size), mesh
-            )
-            with timer.phase("h2d"):
-                batch = local_batch_to_global(batch, mesh)
-            if augment_fn is not None:
-                with timer.phase("augment"):
-                    batch = augment_fn(batch, item_keys)
             with timer.phase("step"):
                 state, losses = step_fn(state, batch)
             total_steps += 1

@@ -429,6 +429,98 @@ def test_prefetch_loader(tmp_path):
         assert b["label"].shape[-1] == len(CLASSES)
 
 
+def test_pack_record_cf_matches_packed_path(tmp_path):
+    """The channel-first fast pack path (pipeline.pack_record_cf, native
+    rsuper_pack_masks_cl when built, numpy fallback otherwise) must produce
+    byte-identical transfer records to to_channels_last + pack_record_masks
+    for both mask cases (zero unk/seg) and report cases (real unk/seg)."""
+    from rsuper_tpu.data.pipeline import pack_record_cf, pack_record_masks
+
+    cases = [
+        Case(*_make_mask_case(tmp_path, "BDMAP_A"), False),
+        Case(*_make_report_case(tmp_path, "BDMAP_R"), True),
+    ]
+    ds = RSuperDataset(cases, _cfg(), report_rows=_report_rows())
+    for i in range(2):
+        rec = ds.sample(i, np.random.default_rng(7))
+        ref = pack_record_masks(to_channels_last(dict(rec)), np.float16)
+        got = pack_record_cf(dict(rec), np.float16)
+        assert set(ref) == set(got)
+        np.testing.assert_array_equal(ref["masks_packed"],
+                                      got["masks_packed"])
+        np.testing.assert_array_equal(ref["image"], got["image"])
+
+
+def test_pack_masks_cl_native_matches_numpy():
+    """Native bit layout == np.packbits(..., bitorder='little'), including
+    non-multiple-of-8 channel counts and nullptr (all-zero) unk/seg."""
+    from rsuper_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native library not built (make -C native)")
+    rng = np.random.default_rng(3)
+    for C in (16, 13, 5, 1):
+        sh = (6, 7, 8)
+        label = (rng.random((C,) + sh) < 0.4).astype(np.uint8)
+        unk = (rng.random((C,) + sh) < 0.2).astype(np.uint8)
+        seg = (rng.random((C,) + sh) < 0.1).astype(np.uint8)
+        m = np.moveaxis(np.concatenate([label, unk, seg], axis=0), 0, -1)
+        ref = np.packbits(m, axis=-1, bitorder="little")
+        np.testing.assert_array_equal(
+            native_io.pack_masks_cl(label, unk, seg), ref)
+        m0 = np.moveaxis(
+            np.concatenate([label, 0 * unk, 0 * seg], axis=0), 0, -1)
+        np.testing.assert_array_equal(
+            native_io.pack_masks_cl(label, None, None),
+            np.packbits(m0, axis=-1, bitorder="little"))
+
+
+def test_device_prefetcher_matches_inline(tmp_path):
+    """DevicePrefetcher (transfer thread + augment dispatch) must yield the
+    exact batches of the inline path given the same loader contents and PRNG
+    key, and surface loader errors in the consumer."""
+    import jax
+    from jax.sharding import Mesh
+    from rsuper_tpu.data.pipeline import DevicePrefetcher, build_augment_step
+    from rsuper_tpu.parallel.multihost import (global_key_slices,
+                                               local_batch_to_global)
+
+    cases = [Case(*_make_mask_case(tmp_path, "BDMAP_A"), False)]
+    ds = RSuperDataset(cases, _cfg(), report_rows=None)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("data",))
+    crop = (32, 48, 48)
+    augment_fn = build_augment_step(
+        mesh, crop_size=crop, scale=(0.1, 0.1, 0.1),
+        num_classes=len(CLASSES))
+    key = jax.random.PRNGKey(5)
+
+    def batches(i):  # deterministic: one worker, fixed seed
+        return PrefetchLoader(ds, batch_size=2, indices=[0, 0, 0, 0],
+                              num_workers=1, seed=9, pack_masks=True)
+
+    got = list(DevicePrefetcher(batches(0), mesh, augment_fn=augment_fn,
+                                key=key, global_batch=2))
+    k = key
+    want = []
+    for batch in batches(1):
+        k, kk = jax.random.split(k)
+        keys = global_key_slices(jax.random.split(kk, 2), mesh)
+        want.append(augment_fn(local_batch_to_global(batch, mesh), keys))
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        assert set(g) == set(w)
+        for name in g:
+            np.testing.assert_array_equal(np.asarray(g[name]),
+                                          np.asarray(w[name]))
+
+    class Boom:
+        def __iter__(self):
+            raise RuntimeError("loader died")
+
+    with pytest.raises(RuntimeError, match="loader died"):
+        list(DevicePrefetcher(Boom(), mesh, key=key))
+
+
 def test_native_io_if_built():
     """Native kernels (if built) must agree with the scipy paths."""
     from rsuper_tpu.data import native_io

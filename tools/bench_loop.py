@@ -84,6 +84,8 @@ def main():
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--augment", choices=("device", "host", "off"),
                     default="device")
+    ap.add_argument("--no-overlap", action="store_true",
+                    help="round-4 inline transfer path (A/B baseline)")
     args = ap.parse_args()
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -185,12 +187,24 @@ def main():
     n = 0
     t0 = None
     losses = None
-    for batch in loader:
-        aug_key, k = jax.random.split(aug_key)
-        keys = jax.random.split(k, args.batch)
-        batch = local_batch_to_global(batch, mesh)
-        if augment_fn is not None:
-            batch = augment_fn(batch, keys)
+    if args.no_overlap:  # round-4 inline path: transfer+augment on the
+        def batches():   # critical path (A/B baseline)
+            key = aug_key
+            for batch in loader:
+                key, k = jax.random.split(key)
+                keys = jax.random.split(k, args.batch)
+                batch = local_batch_to_global(batch, mesh)
+                if augment_fn is not None:
+                    batch = augment_fn(batch, keys)
+                yield batch
+
+        batches = batches()
+    else:
+        from rsuper_tpu.data.pipeline import DevicePrefetcher
+
+        batches = DevicePrefetcher(loader, mesh, augment_fn=augment_fn,
+                                   key=aug_key, global_batch=args.batch)
+    for batch in batches:
         state, losses = step_fn(state, batch)
         n += 1
         if n == args.warmup:
@@ -204,7 +218,8 @@ def main():
         "metric": f"e2e_train_patches_per_sec_per_chip_{S}"
                   + ("" if args.augment == "device" else f"_{args.augment}")
                   + ("_fullwarp" if os.environ.get("RSUPER_AUG_FULLWARP")
-                     else ""),
+                     else "")
+                  + ("_inline" if args.no_overlap else ""),
         "value": round(value, 3),
         "unit": f"{S}^3 patches/s/chip (loader+h2d+augment+step, "
                 f"{steps} steps)",

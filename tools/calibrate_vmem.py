@@ -212,19 +212,20 @@ def emit():
         if cur is None or ms < cur[1]:
             preferred[key] = (fkey[0], ms)
 
-    ht_pref = {}
+    ht_pref, ht_th = {}, {}
     for cell, rec in sorted(done.items()):
         # replay conv cells: ("replay", "conv_cf", kind, mode, H, W, Ci, Co,
         #                     dtype, fused, td, th, form)
         if cell[0] != "replay" or cell[1] != "conv_cf" or cell[3] != "ht":
             continue
-        _, _, kind, _, H, W, Ci, Co, dtype, fused, _, _, form = cell
+        _, _, kind, _, H, W, Ci, Co, dtype, fused, _, th, form = cell
         if not rec["ok"] or not rec.get("ms"):
             continue
         key = (kind, H, W, Ci, Co, _ITEMSIZE.get(dtype, 2), bool(fused))
         cur = ht_pref.get(key)
         if cur is None or rec["ms"] < cur[1]:
             ht_pref[key] = (form, rec["ms"])
+            ht_th[key] = th
 
     head = Path(TABLE).read_text().split("# provenance:")[0]
     lines = [head.rstrip(), "",
@@ -243,6 +244,15 @@ def emit():
     lines.append("PREFERRED_FORM_HT = {")
     for key, (form, ms) in sorted(ht_pref.items()):
         lines.append(f"    {key!r}: {form!r},  # {ms:.3f} ms")
+    lines.append("}")
+    lines.append("")
+    lines.append("# TH (H rows per tile) in effect when each HT verdict was")
+    lines.append("# measured — _pick_form_ht ignores a verdict whose TH no")
+    lines.append("# longer matches the live _pick_th, forcing recalibration")
+    lines.append("# instead of silently reusing a stale form pick.")
+    lines.append("CALIBRATED_TH = {")
+    for key, th in sorted(ht_th.items()):
+        lines.append(f"    {key!r}: {th},")
     lines.append("}")
     TABLE.write_text("\n".join(lines) + "\n")
     print(f"wrote {TABLE} with {len(caps)} caps, {len(preferred)} plane "
