@@ -13,7 +13,8 @@ from typing import Any, Dict
 import jax.numpy as jnp
 
 from .attention_unet import AttentionUNet
-from .dim2 import AttentionUNet2D, TransUNet2D, UNet2D
+from .dim2 import (AttentionUNet2D, DualAttentionUNet2D, TransUNet2D,
+                   UNet2D)
 from .dim2_zoo import MedFormer2D, SwinUNet2D, UNetPlusPlus2D
 from .medformer import MedFormer
 from .nnformer import NnFormer, VTUNet
@@ -136,6 +137,9 @@ MODEL_REGISTRY = {
     "resunet_2d": lambda a, n, d: UNet2D(
         num_classes=n, base_chan=a.get("base_chan", 32), dtype=d),
     "attention_unet_2d": lambda a, n, d: AttentionUNet2D(
+        num_classes=n, base_chan=a.get("base_chan", 32), dtype=d),
+    # reference daunet (model/dim2/dual_attention_unet.py)
+    "dual_attention_unet_2d": lambda a, n, d: DualAttentionUNet2D(
         num_classes=n, base_chan=a.get("base_chan", 32), dtype=d),
     "transunet_2d": lambda a, n, d: TransUNet2D(
         num_classes=n, base_chan=a.get("base_chan", 32),

@@ -370,6 +370,86 @@ def test_dataset_prep(tmp_path):
     assert n == 2
 
 
+def test_organ_masks_maintenance(tmp_path):
+    """Dataset-repair utilities (reference organ_masks/
+    correct_bug_in_gallbladder{,_npz}.py, copy_dataset.py,
+    npz2nii_debug.py): gallbladder subtraction + largest-CC in both nii-tree
+    and packed-npz form, nnU-Net staging copy, and the npz→nii debug dump."""
+    from rsuper_tpu.data.nifti import read_nifti, write_nifti
+    from rsuper_tpu.data.preprocess import load_case
+    from rsuper_tpu.organ_masks.maintenance import (
+        copy_dataset,
+        fix_bladder_npz,
+        fix_bladder_tree,
+        fix_bladder_volume,
+        npz_to_debug_niis,
+    )
+
+    # --- core volume repair: subtract overlap, keep largest CC
+    bladder = np.zeros((12, 12, 12), np.uint8)
+    bladder[1:6, 1:6, 1:6] = 1      # main blob (125 voxels)
+    bladder[9:11, 9:11, 9:11] = 1   # detached noise (8 voxels)
+    gall = np.zeros_like(bladder)
+    gall[4:6, 4:6, 4:6] = 1         # overlaps the main blob
+    fixed = fix_bladder_volume(bladder, gall)
+    assert fixed[2, 2, 2] == 1
+    assert fixed[4, 4, 4] == 0      # gallbladder subtracted
+    assert fixed[9, 9, 9] == 0      # small component dropped
+    # geometry mismatch → no subtraction
+    assert fix_bladder_volume(bladder, gall[:6])[4, 4, 4] == 1
+
+    # --- nii tree, in place
+    seg = tmp_path / "BDMAP_X" / "segmentations"
+    seg.mkdir(parents=True)
+    write_nifti(str(seg / "bladder.nii.gz"), bladder)
+    write_nifti(str(seg / "gall_bladder.nii.gz"), gall)
+    nogall = tmp_path / "BDMAP_Y" / "segmentations"
+    nogall.mkdir(parents=True)
+    write_nifti(str(nogall / "bladder.nii.gz"), bladder)
+    rows = dict(fix_bladder_tree(str(tmp_path)))
+    assert rows[str(seg / "bladder.nii.gz")] == "ok"
+    assert rows[str(nogall / "bladder.nii.gz")] == "skipped_no_gall"
+    out = read_nifti(str(seg / "bladder.nii.gz")).data
+    np.testing.assert_array_equal(out, fixed)
+
+    # --- packed npz, atomic rewrite
+    classes = ["background", "bladder", "gall_bladder"]
+    labels = np.stack([np.zeros_like(bladder), bladder, gall])
+    npz = tmp_path / "case.npz"
+    np.savez_compressed(npz, image=np.zeros(bladder.shape, np.float32),
+                        labels=np.packbits(labels, axis=0),
+                        num_classes=np.int64(3))
+    rows = fix_bladder_npz([str(npz)], classes)
+    assert rows[0][1] == "ok"
+    _, lab2 = load_case(str(npz), num_classes=3)
+    np.testing.assert_array_equal(lab2[1], fixed)
+    np.testing.assert_array_equal(lab2[2], gall)  # other channels untouched
+
+    # --- nnU-Net staging copy
+    src_ct = tmp_path / "cts" / "BDMAP_X"
+    src_ct.mkdir(parents=True)
+    write_nifti(str(src_ct / "ct.nii.gz"), np.zeros((4, 4, 4), np.float32))
+    src_m = tmp_path / "masks" / "BDMAP_X"
+    src_m.mkdir(parents=True)
+    write_nifti(str(src_m / "combined_labels.nii.gz"),
+                np.zeros((4, 4, 4), np.uint8))
+    msgs = copy_dataset(["BDMAP_X", "BDMAP_MISSING"], str(tmp_path / "cts"),
+                        str(tmp_path / "masks"), str(tmp_path / "nnraw"))
+    assert (tmp_path / "nnraw" / "imagesTr" / "BDMAP_X_0000.nii.gz").exists()
+    assert (tmp_path / "nnraw" / "labelsTr" / "BDMAP_X.nii.gz").exists()
+    assert any("not found" in m for m in msgs)
+
+    # --- npz → nii debug dump
+    dump_root = tmp_path / "packed"
+    dump_root.mkdir()
+    (dump_root / "case.npz").write_bytes(npz.read_bytes())
+    written = npz_to_debug_niis(str(dump_root), classes, num=1)
+    assert len(written) == 3
+    back = read_nifti(written[sorted(
+        range(3), key=lambda i: written[i])[0]]).data
+    assert back.shape == bladder.shape
+
+
 def test_predict_suborgans_sharding(tmp_path):
     """nnU-Net driver plumbing: case discovery, resume filter, parts split
     (reference PredictSubOrgansnUnet.py:21-94,120-135)."""

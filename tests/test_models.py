@@ -149,7 +149,8 @@ def test_nnformer_and_vtunet():
     assert out["segmentation"].shape == (1, 32, 32, 32, 5)
 
 
-@pytest.mark.parametrize("arch", ["unet_2d", "attention_unet_2d", "transunet_2d"])
+@pytest.mark.parametrize("arch", ["unet_2d", "attention_unet_2d",
+                                  "transunet_2d", "dual_attention_unet_2d"])
 def test_dim2_models(arch):
     model = get_model(arch, 4, {"base_chan": 8, "hidden": 32, "heads": 4},
                       dtype=jnp.float32)
@@ -176,6 +177,25 @@ def test_dim2_zoo_models(arch, args):
     out = model.apply(params, x)
     assert out["segmentation"].shape == (1, 64, 64, 4)
     assert bool(jnp.all(jnp.isfinite(out["segmentation"])))
+
+
+def test_dual_attention_modules_start_as_identity():
+    """DANet PAM/CAM gates are zero-initialised (reference
+    dual_attention_utils.py:87,122): at init both modules must pass their
+    input through unchanged, and the gate must receive gradient."""
+    from rsuper_tpu.models.dim2 import (ChannelAttention2D,
+                                        PositionAttention2D)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 16))
+    for mod in (PositionAttention2D(), ChannelAttention2D()):
+        params = mod.init(jax.random.PRNGKey(0), x)
+        out = mod.apply(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+        g = jax.grad(lambda p: jnp.sum(mod.apply(p, x) ** 2))(params)
+        gamma = jax.tree.leaves(
+            {k: v for k, v in jax.tree_util.tree_flatten_with_path(g)[0]
+             if "gamma" in str(k)})
+        assert any(float(jnp.abs(x).max()) > 0 for x in gamma)
 
 
 def test_medformer_2d_aux():
