@@ -53,6 +53,22 @@ def main():
     elapsed = (time.time() - t0) / reps
     assert np.isfinite(probs).all()
 
+    # the --save_probabilities path as the predict CLI actually runs it:
+    # packed masks + device-sliced LESION-channel f16 probs, one pass
+    lesion_idx = [i for i, c in enumerate(CLASSES) if "lesion" in c]
+    t0 = time.time()
+    out = predict_masks_volume([apply_fn], [params], vol, CLASSES,
+                               window=(96, 96, 96), batch=4,
+                               prob_channels=lesion_idx)
+    warm_prob = time.time() - t0
+    t0 = time.time()
+    for _ in range(reps):
+        _, lesion_probs = predict_masks_volume(
+            [apply_fn], [params], vol, CLASSES, window=(96, 96, 96),
+            batch=4, prob_channels=lesion_idx)
+    elapsed_lesion = (time.time() - t0) / reps
+    assert lesion_probs.shape == vol.shape + (len(lesion_idx),)
+
     # the default predict path: device-side threshold + organ gating +
     # bit-packed uint8 transfer (32x less D2H than f32 probabilities)
     t0 = time.time()
@@ -73,7 +89,8 @@ def main():
                 "device postprocess + packed-mask transfer)",
         "seconds_per_volume": round(elapsed_masks, 2),
         "seconds_per_volume_prob_transfer": round(elapsed, 2),
-        "first_call_with_compile_s": round(warm + warm_masks, 1),
+        "seconds_per_volume_masks_plus_lesion_probs": round(elapsed_lesion, 2),
+        "first_call_with_compile_s": round(warm + warm_masks + warm_prob, 1),
     }))
 
 

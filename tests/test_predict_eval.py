@@ -315,6 +315,37 @@ def test_validate_cases():
     assert res["hd95"][1] > 0
 
 
+def test_predict_masks_prob_channels_parity():
+    """prob_channels rides the same device accumulator: the returned f16
+    lesion probabilities must match predict_volume's full float path, and
+    the masks must be identical with/without the extra transfer."""
+    import jax.numpy as jnp
+    from rsuper_tpu.inference.predict import (predict_masks_volume,
+                                              predict_volume)
+
+    vol = np.zeros((20, 20, 20), np.float32)
+    vol[4:12, 4:12, 4:12] = 1.0
+    vol[6:9, 6:9, 6:9] = 2.0
+    classes = ["pancreas", "pancreatic_lesion"]
+
+    def apply_fn(params, x):
+        organ = jnp.where(x[..., 0] > 0.1, 10.0, -10.0)
+        lesion = jnp.where(x[..., 0] > 1.2, 10.0, -10.0)
+        return jnp.stack([organ, lesion], axis=-1)
+
+    masks_only = predict_masks_volume([apply_fn], [None], vol, classes,
+                                      window=(16, 16, 16), batch=2)
+    masks, probs = predict_masks_volume([apply_fn], [None], vol, classes,
+                                        window=(16, 16, 16), batch=2,
+                                        prob_channels=[1])
+    assert probs.dtype == np.float16 and probs.shape == vol.shape + (1,)
+    for cls in classes:
+        np.testing.assert_array_equal(masks[cls], masks_only[cls])
+    full = predict_volume([apply_fn], [None], vol, 2,
+                          window=(16, 16, 16), batch=2)
+    np.testing.assert_allclose(probs[..., 0], full[..., 1], atol=2e-3)
+
+
 def test_predict_folder_end_to_end(tmp_path):
     import jax.numpy as jnp
     from rsuper_tpu.data.nifti import read_nifti
