@@ -370,6 +370,49 @@ def test_dataset_prep(tmp_path):
     assert n == 2
 
 
+def test_phantom_aggregation_excludes_degenerate(tmp_path, monkeypatch):
+    """Study-D protocol plumbing: the pre-registered both-arms-degenerate
+    exclusion drops only seeds where BOTH arms fail, reports raw AND
+    filtered aggregates, and paired gains carry a sem for the 1σ bar."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import phantom_benchmark as pb
+
+    rows = [
+        {"mask_only": {"lesion_dice": 0.5, "lesion_nsd": 0.6, "f1": 0.7,
+                       "sensitivity": 0.7},
+         "report": {"lesion_dice": 0.6, "lesion_nsd": 0.7, "f1": 0.8,
+                    "sensitivity": 0.8}},
+        {"mask_only": {"lesion_dice": 0.4, "lesion_nsd": 0.5, "f1": 0.6,
+                       "sensitivity": 0.6},
+         "report": {"lesion_dice": 0.45, "lesion_nsd": 0.55, "f1": 0.7,
+                    "sensitivity": 0.7}},
+        # both arms degenerate: must be excluded in the filtered view
+        {"mask_only": {"lesion_dice": 0.01, "lesion_nsd": 0.0, "f1": 0.0,
+                       "sensitivity": 0.0},
+         "report": {"lesion_dice": 0.02, "lesion_nsd": 0.0, "f1": 0.0,
+                    "sensitivity": 0.0}},
+    ]
+    it = iter(rows)
+    monkeypatch.setattr(pb, "run_one_seed", lambda out, args, s: next(it))
+    summary = pb.main([
+        "--seeds", "3", "--out", str(tmp_path), "--exclude_degenerate",
+        "0.05", "--platform", "cpu",
+    ])
+    assert summary["excluded_degenerate"] == {
+        "threshold": 0.05, "n_excluded": 1, "n_kept": 2}
+    raw = summary["paired_gain"]["lesion_dice"]
+    filt = summary["filtered"]["paired_gain"]["lesion_dice"]
+    np.testing.assert_allclose(raw["values"], [0.1, 0.05, 0.01], atol=1e-9)
+    np.testing.assert_allclose(filt["values"], [0.1, 0.05], atol=1e-9)
+    assert filt["sem"] == pytest.approx(
+        np.std([0.1, 0.05]) / np.sqrt(2), abs=1e-9)
+    # one arm degenerate is NOT excluded (that asymmetry IS the effect)
+    assert all(max(r["mask_only"]["lesion_dice"],
+                   r["report"]["lesion_dice"]) >= 0.05
+               for r in rows[:2])
+
+
 def test_organ_masks_maintenance(tmp_path):
     """Dataset-repair utilities (reference organ_masks/
     correct_bug_in_gallbladder{,_npz}.py, copy_dataset.py,

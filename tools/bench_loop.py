@@ -86,7 +86,22 @@ def main():
                     default="device")
     ap.add_argument("--no-overlap", action="store_true",
                     help="round-4 inline transfer path (A/B baseline)")
+    ap.add_argument("--cpu-mesh", type=int, default=0, metavar="N",
+                    help="run the FULL loop (loader -> DevicePrefetcher -> "
+                         "sharded augment -> sharded train step) on an "
+                         "N-virtual-device CPU mesh — the loop-level DP "
+                         "dryrun; prints a MULTICHIP-style JSON line")
     args = ap.parse_args()
+    if args.cpu_mesh:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu_mesh}"
+        )
+        jax.config.update("jax_platforms", "cpu")
+        args.batch = args.cpu_mesh  # one item per device
+        args.size = min(args.size, 32)
+        args.steps = min(args.steps, 2)
+        args.warmup = min(args.warmup, 1)
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -116,14 +131,20 @@ def main():
     dataset = RSuperDataset(
         [Case(f"BDMAP_L{i}", p, False) for i, p in enumerate(npzs)], dcfg)
 
-    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("data",))
+    n_mesh = max(1, args.cpu_mesh)
+    mesh = Mesh(np.asarray(jax.devices()[:n_mesh]).reshape(n_mesh), ("data",))
     lmap = LesionChannelMap.from_classes(CLASSES)
     model = get_model("medformer", len(CLASSES), {}, dtype=jnp.bfloat16)
     tx = make_optimizer(base_lr=6e-4, warmup_epochs=0, max_epochs=100,
                         steps_per_epoch=1000)
     params = init_params_on_host(
         model, jax.random.PRNGKey(0), jnp.zeros((1, S, S, S, 1)))
-    dev = jax.devices()[0]
+    if args.cpu_mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dev = NamedSharding(mesh, P())  # replicated over the data axis
+    else:
+        dev = jax.devices()[0]
     state = TrainState(
         params=jax.device_put(params, dev),
         opt_state=jax.device_put(tx.init(params), dev),
@@ -131,7 +152,8 @@ def main():
         step=jax.device_put(jnp.zeros((), jnp.int32), dev),
         tx=tx,
     )
-    step_fn = build_train_step(model, lmap, LossConfig(loss="ball_dice_last"))
+    step_fn = build_train_step(model, lmap, LossConfig(loss="ball_dice_last"),
+                               mesh=mesh if args.cpu_mesh else None)
     augment_fn = None
     transform = None
     if args.augment == "device":
@@ -214,6 +236,19 @@ def main():
     elapsed = time.time() - t0
     steps = n - args.warmup
     value = steps * args.batch / elapsed
+    if args.cpu_mesh:
+        # loop-level DP dryrun verdict, MULTICHIP_MATRIX-style
+        print(json.dumps({
+            "check": "e2e_loop_dp",
+            "n_devices": args.cpu_mesh,
+            "ok": bool(np.isfinite(final)),
+            "steps": steps,
+            "global_batch": args.batch,
+            "loss": round(final, 4),
+            "augment": args.augment,
+            "overlap": not args.no_overlap,
+        }))
+        return
     print(json.dumps({
         "metric": f"e2e_train_patches_per_sec_per_chip_{S}"
                   + ("" if args.augment == "device" else f"_{args.augment}")

@@ -30,9 +30,32 @@ def run_one(n: int):
             "lines": tail[-4:]}
 
 
+def run_loop_dryrun(n: int):
+    """Loop-LEVEL DP validation (VERDICT r4 item 8): the real input pipeline
+    (PrefetchLoader → DevicePrefetcher → sharded augment → sharded train
+    step) over an n-virtual-device CPU mesh, via bench_loop --cpu-mesh."""
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_loop.py", "--cpu-mesh", str(n)],
+        capture_output=True, text=True, timeout=3600, cwd=str(REPO),
+        env={**__import__("os").environ,
+             "JAX_COMPILATION_CACHE_DIR": str(REPO / ".jax_cache_cpu")},
+    )
+    rec = {"n_devices": n, "ok": False, "check": "e2e_loop_dp",
+           "seconds": round(time.time() - t0, 1)}
+    for ln in proc.stdout.splitlines():
+        if '"e2e_loop_dp"' in ln:
+            rec.update(json.loads(ln))
+            break
+    else:
+        rec["lines"] = (proc.stdout + proc.stderr).splitlines()[-4:]
+    return rec
+
+
 def main():
     ns = [int(a) for a in sys.argv[1:]] or [8, 16, 32]
     results = [run_one(n) for n in ns]
+    results.append(run_loop_dryrun(ns[0]))
     path = REPO / "MULTICHIP_MATRIX.json"
     path.write_text(json.dumps({"results": results}, indent=1) + "\n")
     print(json.dumps(results))

@@ -30,6 +30,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import math
 import os
 import sys
 
@@ -330,6 +331,15 @@ def main(argv=None):
                         "distribution, the R-Super data regime")
     p.add_argument("--radius", type=float, nargs=2, default=(3.0, 6.5),
                    help="tumor radius range in mm")
+    p.add_argument("--exclude_degenerate", type=float, default=None,
+                   metavar="THRESH",
+                   help="PRE-REGISTERED exclusion for the multi-seed study: "
+                        "drop seeds where BOTH arms score lesion Dice below "
+                        "THRESH (the seed's scarce mask draw failed to train "
+                        "any usable segmenter — study C seed 34's failure "
+                        "mode, which measures the data draw, not the "
+                        "supervision effect). Raw aggregates over all seeds "
+                        "are always reported alongside.")
     p.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
                    help="'tpu' leaves the sitecustomize's TPU platform in "
                         "place (run with PYTHONPATH incl. the axon site): "
@@ -357,31 +367,54 @@ def main(argv=None):
                else os.path.join(args.out, f"seed{s}"))
         per_seed.append(run_one_seed(out, args, s))
 
-    def agg(arm, key):
-        vals = np.array([r[arm][key] for r in per_seed], np.float64)
-        return {"mean": float(vals.mean()), "std": float(vals.std()),
-                "values": [float(v) for v in vals]}
+    def aggregate(rows):
+        def agg(arm, key):
+            vals = np.array([r[arm][key] for r in rows], np.float64)
+            return {"mean": float(vals.mean()), "std": float(vals.std()),
+                    "values": [float(v) for v in vals]}
 
-    gains = {
-        k: np.array([r["report"][k] - r["mask_only"][k] for r in per_seed])
-        for k in ("lesion_dice", "lesion_nsd", "f1", "sensitivity")
-    }
+        gains = {
+            k: np.array([r["report"][k] - r["mask_only"][k] for r in rows])
+            for k in ("lesion_dice", "lesion_nsd", "f1", "sensitivity")
+        }
+        return {
+            "mask_only": {k: agg("mask_only", k)
+                          for k in ("lesion_dice", "lesion_nsd", "f1",
+                                    "sensitivity")},
+            "report": {k: agg("report", k)
+                       for k in ("lesion_dice", "lesion_nsd", "f1",
+                                 "sensitivity")},
+            # paired per-seed gains: both arms share each seed's data, so
+            # the data-draw variance cancels and the supervision effect
+            # remains; sem = std/sqrt(n) for the 1σ interval
+            "paired_gain": {
+                k: {"mean": float(g.mean()), "std": float(g.std()),
+                    "sem": float(g.std() / max(1, math.sqrt(len(g)))),
+                    "values": [float(v) for v in g]}
+                for k, g in gains.items()
+            },
+        }
+
     summary = {
         "metric": "phantom_report_vs_mask_only",
         "seeds": args.seeds,
-        "mask_only": {k: agg("mask_only", k)
-                      for k in ("lesion_dice", "lesion_nsd", "f1",
-                                "sensitivity")},
-        "report": {k: agg("report", k)
-                   for k in ("lesion_dice", "lesion_nsd", "f1",
-                             "sensitivity")},
-        # paired per-seed gains: both arms share each seed's data, so the
-        # data-draw variance cancels and the supervision effect remains
-        "paired_gain": {
-            k: {"mean": float(g.mean()), "std": float(g.std()),
-                "values": [float(v) for v in g]}
-            for k, g in gains.items()
-        },
+        **aggregate(per_seed),
+    }
+    if args.exclude_degenerate is not None:
+        thr = args.exclude_degenerate
+        kept = [r for r in per_seed
+                if max(r["mask_only"]["lesion_dice"],
+                       r["report"]["lesion_dice"]) >= thr]
+        summary["excluded_degenerate"] = {
+            "threshold": thr,
+            "n_excluded": len(per_seed) - len(kept),
+            "n_kept": len(kept),
+        }
+        if kept and len(kept) < len(per_seed):
+            summary["filtered"] = aggregate(kept)
+    gains = {
+        k: np.array([r["report"][k] - r["mask_only"][k] for r in per_seed])
+        for k in ("lesion_dice", "lesion_nsd", "f1", "sensitivity")
     }
     if args.seeds == 1:
         summary["mask_only"] = per_seed[0]["mask_only"]

@@ -98,6 +98,7 @@ def summarize(trace_dir):
                 if "TPU" in n or "device" in n.lower() or "XLA" in n}
     totals = defaultdict(float)
     counts = defaultdict(int)
+    op_meta = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -109,11 +110,19 @@ def summarize(trace_dir):
         totals[name] += dur
         counts[name] += 1
         total += dur
+        args = e.get("args") or {}
+        meta = " ".join(
+            str(args[k]) for k in ("tf_op", "source", "shape") if args.get(k)
+        )
+        if meta and name not in op_meta:
+            op_meta[name] = meta
     print(f"\n== trace {os.path.basename(path)}: {total:.1f} ms total device "
           f"time across {sum(counts.values())} events ==")
     print(f"{'ms':>9} {'n':>5}  op")
     for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:60]:
-        print(f"{ms:9.2f} {counts[name]:5d}  {name[:120]}")
+        meta = op_meta.get(name, "")
+        print(f"{ms:9.2f} {counts[name]:5d}  {name[:80]}"
+              + (f"  <- {meta[:140]}" if meta else ""))
 
     # module-level attribution from the per-op tf_op metadata: group by the
     # model submodule (e.g. UpBlockMF_3/BasicBlock_0 fwd vs bwd) / loss source
