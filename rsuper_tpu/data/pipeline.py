@@ -36,12 +36,14 @@ from .dataset import RSuperDataset, to_channels_last
 # the two lowering variants can be timed against each other. Trace-time
 # only (jitted graphs don't re-read the environment).
 _FULLWARP = bool(os.environ.get("RSUPER_AUG_FULLWARP"))
-# RSUPER_AUG_SHEAR=1: warp the IMAGE with the shear-decomposed batched-matmul
-# pipeline (ops/shear_warp.py) instead of the map_coordinates gather — the
-# same affine map on the MXU instead of ~8 gathers/voxel. Labels keep the
-# exact packed nearest gather either way. Opt-in until A/B-validated on
-# hardware (multi-pass lerp smooths slightly more than one trilinear).
-_SHEAR = bool(os.environ.get("RSUPER_AUG_SHEAR"))
+# The IMAGE warp runs through the shear-decomposed batched-matmul pipeline
+# (ops/shear_warp.py) by default — the same affine map as MXU matmuls
+# instead of ~8 gathers/voxel. Hardware A/B (round 5, artifacts/
+# exp_augment{,_shear}_r5a.log): 36.6 ms vs 128.0 ms per step at 96³ crops.
+# Labels keep the exact packed nearest gather either way. Set
+# RSUPER_AUG_SHEAR=0 to fall back to the map_coordinates trilinear gather
+# (the golden reference; multi-pass lerp smooths slightly more).
+_SHEAR = os.environ.get("RSUPER_AUG_SHEAR", "1") not in ("0", "")
 
 
 _BITS = 24  # binary channels per float32 word (exact integers up to 2^24)

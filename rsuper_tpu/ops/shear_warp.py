@@ -21,9 +21,10 @@ to θ exactly — tested), identical zero (cval=0) borders, but the
 interpolation is a COMPOSITION of 1-D lerps instead of one trilinear lerp:
 pure scale/translate is exactly trilinear; with rotation the result is the
 classic multi-pass-rotation approximation (slightly smoother). That is an
-accepted trade for data augmentation, so this path is opt-in
-(``RSUPER_AUG_SHEAR=1``) until A/B-validated on hardware; the gather path
-stays the default and the golden reference.
+accepted trade for data augmentation. Hardware A/B (round 5,
+``artifacts/exp_augment_shear_r5a.log``): 36.6 ms vs 128.0 ms per 96³
+augment step — this path is now the DEFAULT image warp;
+``RSUPER_AUG_SHEAR=0`` restores the gather path (the golden reference).
 
 The nearest-neighbour label warp is NOT routed here: compounded nearest
 passes shift mask edges, and the packed-word gather

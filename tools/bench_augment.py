@@ -61,9 +61,13 @@ def main():
         # fetch a scalar: block_until_ready through the relay is unreliable
         float(jnp.sum(out["image"]))
     dt = (time.perf_counter() - t0) / reps
+    # default (shear image warp) prints the bare metric; the explicit A/B
+    # variants get suffixes so chain logs stay unambiguous
     suffix = ""
     if os.environ.get("RSUPER_AUG_FULLWARP"):
         suffix = "_fullwarp"
+    elif os.environ.get("RSUPER_AUG_SHEAR") == "0":
+        suffix = "_gather"
     elif os.environ.get("RSUPER_AUG_SHEAR"):
         suffix = "_shear"
     print(json.dumps({
