@@ -24,6 +24,7 @@ reference's ``groups=C`` conv (``losses_foundation.py:87``).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -31,6 +32,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from .balls import ball_kernel, ball_kernel_wrapped, good_fft_size
+
+# Large-kernel (k > 9) strategy under method="auto": "fft" = one exact
+# Euclidean ball in the FFT domain (size-independent ~3 ms at 96³); "iter" =
+# the reference's repeated small-ball decomposition as reduce_window maxes
+# (bandwidth-bound, no FFT). Trace-time knob for the bench A/B.
+_BIG_METHOD = os.environ.get("RSUPER_DILATE_BIG", "fft")
 
 
 def binary_union(*masks):
@@ -179,6 +186,45 @@ def _dilate_ball7_cf(x):
     return (out > 0.5).astype(x.dtype)
 
 
+def _dilate_ball3_cf(x):
+    """EXACT ball(radius 1.5) dilation: offsets with x²+y²+z² <= 1.5² are
+    those with at most TWO nonzero ±1 coordinates (the 18-neighbourhood) —
+    the union over the three spatial-axis pairs of a separable 2D cube(3).
+    Six reduce_window passes + two maxes."""
+    f = x.astype(jnp.float32)
+    sp = list(range(x.ndim - 3, x.ndim))
+    out = None
+    for skip in sp:
+        plane = f
+        for ax in sp:
+            if ax != skip:
+                plane = _axis_max(plane, ax, 3)
+        out = plane if out is None else jnp.maximum(out, plane)
+    return (out > 0.5).astype(x.dtype)
+
+
+def _dilate_iter_cf(x, kernel_size: int):
+    """Reference-parity large-kernel dilation: radius decomposed into
+    repeated ball(7) passes plus one ball(3)/ball(5) remainder — exactly the
+    reference's ``dilate_volume`` (``losses_foundation.py:22-47``,
+    full_pass_radius=3), with each per-pass discrete ball identical to its
+    conv kernel. The Minkowski sum of small balls over-reaches the single
+    Euclidean ball slightly at oblique angles (the reference accepts this);
+    every pass is reduce_window maxes, so cost is ~13 bandwidth-bound
+    elementwise passes per radius-3 step instead of the size-independent
+    ~3 ms FFT — an A/B candidate for the k=31 segment dilation
+    (``RSUPER_DILATE_BIG=iter``)."""
+    radius = (kernel_size - 1) // 2
+    n7, rem = divmod(radius, 3)
+    for _ in range(n7):
+        x = _dilate_ball7_cf(x)
+    if rem == 2:
+        x = _dilate_ball5_cf(x)
+    elif rem == 1:
+        x = _dilate_ball3_cf(x)
+    return x
+
+
 def _separable_max_cf(x, k: int):
     """Exact cube(k) dilation: one reduce_window max per spatial axis."""
     out = x.astype(jnp.float32)
@@ -233,6 +279,10 @@ def dilate_cf(x, kernel_size: int, method: str = "auto"):
         return _dilate_ball5_cf(x)
     if kernel_size == 7 and method in ("auto", "fast"):
         return _dilate_ball7_cf(x)
+    if method == "iter" or (
+        method == "auto" and kernel_size > 9 and _BIG_METHOD == "iter"
+    ):
+        return _dilate_iter_cf(x, kernel_size)
     lead = x.shape[:-3]
     flat = x.reshape((-1,) + x.shape[-3:])
     # On TPU, XLA lowers single-channel depthwise conv3d to a scalar-loop

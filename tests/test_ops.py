@@ -375,6 +375,41 @@ def test_dilate_cf_ball7_exact():
     assert out[0, 11, 10, 8] == 0 and out[0, 11, 11, 8] == 0
 
 
+def test_dilate_cf_ball3_exact():
+    """ball(radius 1.5) = the 18-neighbourhood; the pair-plane union
+    decomposition must match scipy voxel-for-voxel."""
+    from rsuper_tpu.ops.morphology import _dilate_ball3_cf
+
+    rng = np.random.default_rng(5)
+    x = (rng.random((2, 14, 15, 16)) > 0.95).astype(np.float32)
+    got = np.asarray(_dilate_ball3_cf(jnp.asarray(x)))
+    want = np.stack([
+        ndi.binary_dilation(x[i] > 0, structure=_scipy_ball(3)).astype(np.float32)
+        for i in range(2)
+    ])
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("ks", [11, 15, 31])
+def test_dilate_cf_iter_matches_reference_decomposition(ks):
+    """method='iter' must equal the reference's dilate_volume semantics
+    (losses_foundation.py:22-47): radius//3 iterated ball(7) passes + one
+    ball(2·rem+1) remainder pass, each an exact discrete Euclidean ball."""
+    from rsuper_tpu.ops.morphology import dilate_cf
+
+    rng = np.random.default_rng(ks)
+    x = (rng.random((1, 20, 22, 24)) > 0.995).astype(np.float32)
+    got = np.asarray(dilate_cf(jnp.asarray(x), ks, method="iter"))
+    want = x[0] > 0
+    radius = (ks - 1) // 2
+    n7, rem = divmod(radius, 3)
+    for _ in range(n7):
+        want = ndi.binary_dilation(want, structure=_scipy_ball(7))
+    if rem:
+        want = ndi.binary_dilation(want, structure=_scipy_ball(2 * rem + 1))
+    np.testing.assert_array_equal(got[0], want.astype(np.float32))
+
+
 # ------------------------------------------------------------ channel-first conv
 class TestConvCF:
     """Pallas channel-first 3x3x3 conv vs flax nn.Conv golden values.

@@ -33,5 +33,8 @@ run loop_r5b 5400 python tools/bench_loop.py
 run loop_inline_r5b 5400 python tools/bench_loop.py --no-overlap
 run infer_r5b 5400 python bench_infer.py
 run profile96_r5b 3600 python tools/profile_step.py
+# A/B: k=31 segment dilation as iterated reduce_window balls (reference
+# decomposition) instead of the exact FFT ball — new step graph, one compile
+run bench96_dilate_iter 5400 env RSUPER_DILATE_BIG=iter python bench.py
 bash tools/run_phantom_d.sh
 echo "CHAIN-5B DONE $(date +%H:%M:%S)"
