@@ -317,6 +317,90 @@ def _wgrad_kernel_d(W: int, Co: int, TD: int, fuse: bool, *args):
             dw_ref[kd] += part * valids[kd]
 
 
+def _patch27(rows_v, W: int):
+    """(27·Ci, S) full-tap patch: every (kd, kh, kw) shift of the three
+    depth rows stacked along the contraction, ordered (kd, kh, kw, ci) to
+    match `_prep_w_f`. Rows must already carry their depth-edge validity
+    (multiplied in, not masked post-dot — kd lives inside K here). f32:
+    the stacked K is small (form "f" is gated to tiny Ci) and small-K bf16
+    dots mis-lower on Mosaic (see _fwd_kernel's per-tap branch)."""
+    blocks = []
+    for kd in range(3):
+        p = _kw_patch(rows_v[kd], W).astype(jnp.float32)
+        for kh in range(3):
+            blocks.append(_shift_h(p, kh, W))
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _fwd_kernel_f(W: int, TD: int, *args):
+    """Formulation-"f" whole-plane forward for TINY C_in (the 1→32 stem
+    class): ONE (Co, 27·Ci) × (27·Ci, S) dot per output row instead of 9
+    K=3·Ci dots — at Ci=1 formulation "a" runs 9 dots of K=3 (<3% of a
+    128-deep MXU pass each); stacking every tap into K cuts the MXU pass
+    count ~9× for the same VPU shift work. Unfused only (the stem conv has
+    no IN preactivation)."""
+    xp_ref, xm_ref, xn_ref, w_ref, y_ref = args
+    for t in range(TD):
+        rows, valids = _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t, TD)
+        rows_v = [r * v.astype(r.dtype) for r, v in zip(rows, valids)]
+        patch = _patch27(rows_v, W)
+        acc = jax.lax.dot_general(
+            w_ref[...].astype(jnp.float32), patch,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y_ref[0, t] = acc.astype(y_ref.dtype)
+
+
+def _wgrad_kernel_f(W: int, TD: int, *args):
+    """Formulation-"f" wgrad: dw[co, 27·ci] += dy ⋅ patch27ᵀ — one dot per
+    row (vs 9 N=3·Ci dots in "a"; at Ci=1 those waste >95% of every MXU
+    pass on N padding)."""
+    xp_ref, xm_ref, xn_ref, dy_ref, dw_ref = args
+    b = pl.program_id(0)
+
+    @pl.when((b == 0) & (pl.program_id(1) == 0))
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    for t in range(TD):
+        rows, valids = _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t, TD)
+        rows_v = [r * v.astype(r.dtype) for r, v in zip(rows, valids)]
+        patch = _patch27(rows_v, W)
+        dw_ref[...] += jax.lax.dot_general(
+            dy_ref[0, t].astype(jnp.float32), patch,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _fwd_kernel_g(W: int, Co: int, TD: int, *args):
+    """Formulation-"g" whole-plane forward for TINY C_out (the 32→1 stem
+    dgrad / outc class): per depth tap, ONE (9·Co, Ci) × (Ci, S) dot with
+    the (kh, kw) taps stacked along M, kh/kw applied as output shifts of
+    the dot slices (same direction as the input shifts they replace — the
+    shifted-z alignment identity formulation "d" uses for kh, extended to
+    kw). At Co=1 formulation "a" runs M=1 dots (<1% sublane occupancy);
+    "g" runs M=9 and 3× fewer dots. Unfused only."""
+    xp_ref, xm_ref, xn_ref, w_ref, y_ref = args
+    for t in range(TD):
+        rows, valids = _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t, TD)
+        acc = None
+        for kd in range(3):
+            z = jax.lax.dot_general(
+                w_ref[kd].astype(jnp.float32),
+                rows[kd].astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * valids[kd]  # (9·Co, S)
+            for kh in range(3):
+                for kw in range(3):
+                    sl = z[(kh * 3 + kw) * Co : (kh * 3 + kw + 1) * Co]
+                    part = _shift_h(_shift_w(sl, kw, W), kh, W)
+                    acc = part if acc is None else acc + part
+        y_ref[0, t] = acc.astype(y_ref.dtype)
+
+
 def _shift_h_ht(body, hp, hn, k: int, W: int):
     """kh tap on an H-tiled (C, TH·W) tile: the row shifted in from outside
     the tile comes from the (C, W) halo refs instead of zero fill. Halos are
@@ -598,7 +682,12 @@ def _td_vmem_est(td: int, S: int, Ci: int, Co: int, itemsize: int,
         dy_copies = 3 * Co if form == "d" else Co
         return S * itemsize * (2 * streams + scratch + dy_copies) \
             + 2 * 9 * Co * 3 * Ci * 4
-    live_f32 = 5 * Co if form == "d" else 2 * Co
+    if form == "f":
+        live_f32 = Co + 27 * Ci + 3 * Ci  # acc + f32 patch + kw_patch temp
+    elif form == "g":
+        live_f32 = 9 * Co + 2 * Co + Ci  # z + acc/part + f32 row cast
+    else:
+        live_f32 = 5 * Co if form == "d" else 2 * Co
     if form == "d":
         # Mosaic double-buffers the pipelined grid streams (the round-4b
         # smoke OOM dumps show a 2·TD-row output block); form "a"'s budget
@@ -659,24 +748,32 @@ def _resolve_plane(D: int, S: int, Ci: int, Co: int, itemsize: int,
 
     if _form_override is not None:
         form = _form_override
+        if not _form_eligible(form, S, Ci, Co, fused, wgrad):
+            form = "a"
         td = _td_override if _td_override is not None else max(best_td(form), 1)
         return form, td
     form = PREFERRED_FORM.get(key)
+    if form is not None and not _form_eligible(form, S, Ci, Co, fused, wgrad):
+        form = None  # stale table row for a form this call can't run
     if form is None:
         # Unmeasured signature: form "a" is the only formulation proven to
         # lower at every calibrated signature; "d" failed Mosaic lowering
         # outright at four production plane signatures the analytic VMEM
         # estimate accepted (round-4c smoke, MEASURED_TD cap 0). Never pick
-        # "d" from the estimate alone — only with a measured cap > 0.
+        # "d" (or "f"/"g") from the estimate alone — only with a measured
+        # cap > 0.
         form = "d" if MEASURED_TD.get(("d",) + key, 0) else "a"
     td = best_td(form)
-    if td == 0:  # measured: this formulation cannot lower — use the other
+    if td == 0:  # measured: this formulation cannot lower — fall back
         other = "a" if form == "d" else "d"
         if other == "d" and not MEASURED_TD.get(("d",) + key, 0):
-            td = 1  # keep "a" at minimum rows rather than gamble on "d"
-        else:
+            other, td = "a", 0
+        if other == "d":
             form = other
             td = max(best_td(form), 1)
+        else:
+            form = "a"
+            td = max(best_td("a"), 1)
     if _td_override is not None:
         td = _td_override
     return form, td
@@ -715,6 +812,40 @@ def _prep_w_d(w):
     w = jnp.transpose(w, (0, 1, 4, 2, 3))  # (kd, kh, co, kw, ci)
     kd, kh, co, kw, ci = w.shape
     return w.reshape(kd, kh * co, kw * ci)
+
+
+def _prep_w_f(w):
+    """(3, 3, 3, Ci, Co) flax kernel → (Co, 27·Ci) for formulation "f":
+    every tap in the contraction, K ordered (kd, kh, kw, ci) to match
+    `_patch27`."""
+    w = jnp.transpose(w, (4, 0, 1, 2, 3))  # (co, kd, kh, kw, ci)
+    co = w.shape[0]
+    return w.reshape(co, 27 * w.shape[-1])
+
+
+def _prep_w_g(w):
+    """(3, 3, 3, Ci, Co) flax kernel → (kd, 9·Co, Ci) for formulation "g":
+    M rows ordered (kh, kw, co), K = ci alone."""
+    w = jnp.transpose(w, (0, 1, 2, 4, 3))  # (kd, kh, kw, co, ci)
+    kd, kh, kw, co, ci = w.shape
+    return w.reshape(kd, kh * kw * co, ci)
+
+
+# form-"f" eligibility: the f32 (27·Ci, S) patch must stay a small slice of
+# scoped VMEM (the form exists for the tiny-Ci stem class; at Ci=1/96² it is
+# 1 MB). form "g" stacks 9·Co along M — only a win while Co is far below the
+# 128-sublane tile.
+_F_PATCH_BUDGET = 4_000_000  # bytes of the f32 (27·Ci, S) patch
+_G_CO_MAX = 4
+
+
+def _form_eligible(form: str, S: int, Ci: int, Co: int, fused: bool,
+                   wgrad: bool) -> bool:
+    if form == "f":
+        return not fused and 27 * Ci * S * 4 <= _F_PATCH_BUDGET
+    if form == "g":
+        return not fused and not wgrad and Co <= _G_CO_MAX
+    return True
 
 
 # input-channel chunk ceiling: at C_in = 96 (the decoder's concat input) the
@@ -850,6 +981,14 @@ def _conv3_cf_pallas(x, w, interpret=False, stats=None):
         kernel = functools.partial(_fwd_kernel_d, W, Co, TD, fuse)
         w_prep = _prep_w_d(w).astype(x.dtype)
         w_spec = pl.BlockSpec((3, 3 * Co, 3 * Ci), lambda b, d: (0, 0, 0))
+    elif form == "f":
+        kernel = functools.partial(_fwd_kernel_f, W, TD)
+        w_prep = _prep_w_f(w).astype(x.dtype)
+        w_spec = pl.BlockSpec((Co, 27 * Ci), lambda b, d: (0, 0))
+    elif form == "g":
+        kernel = functools.partial(_fwd_kernel_g, W, Co, TD)
+        w_prep = _prep_w_g(w).astype(x.dtype)
+        w_spec = pl.BlockSpec((3, 9 * Co, Ci), lambda b, d: (0, 0, 0))
     else:
         kernel = functools.partial(_fwd_kernel, W, concat_kw, TD, fuse)
         w_prep = _prep_w(w).astype(x.dtype)
@@ -930,6 +1069,10 @@ def _wgrad_pallas(x, dy, Co, interpret=False, stats=None):
         kernel = functools.partial(_wgrad_kernel_d, W, Co, TD, fuse)
         out_spec = pl.BlockSpec((3, 3 * Co, 3 * Ci), lambda b, d: (0, 0, 0))
         out_shape = jax.ShapeDtypeStruct((3, 3 * Co, 3 * Ci), jnp.float32)
+    elif form == "f":
+        kernel = functools.partial(_wgrad_kernel_f, W, TD)
+        out_spec = pl.BlockSpec((Co, 27 * Ci), lambda b, d: (0, 0))
+        out_shape = jax.ShapeDtypeStruct((Co, 27 * Ci), jnp.float32)
     else:
         kernel = functools.partial(_wgrad_kernel, W, concat_kw, TD, fuse)
         out_spec = pl.BlockSpec((3, 3, Co, 3 * Ci),
@@ -944,6 +1087,10 @@ def _wgrad_pallas(x, dy, Co, interpret=False, stats=None):
         out_shape=out_shape,
         interpret=interpret,
     )(xf, xf, xf, *st, dyf)
+    if form == "f":
+        # (co, kd·kh·kw·ci) → flax layout (kd, kh, kw, ci, co)
+        dw = dw.reshape(Co, 3, 3, 3, Ci)
+        return jnp.transpose(dw, (1, 2, 3, 4, 0))
     # (kd, kh, co, kw*ci) → flax layout (kd, kh, kw, ci, co)
     dw = dw.reshape(3, 3, Co, 3, Ci)
     return jnp.transpose(dw, (0, 1, 3, 4, 2))

@@ -511,6 +511,66 @@ class TestConvCF:
         np.testing.assert_allclose(gx_p, gx_x, rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(gw_p, gw_x, rtol=1e-4, atol=1e-2)
 
+    @pytest.mark.parametrize("shape", [(1, 32), (2, 32), (1, 8)])
+    def test_pallas_form_f_small_ci(self, monkeypatch, shape):
+        """Form "f" (all 27 taps stacked into K — the tiny-Ci stem class):
+        fwd + both grads vs XLA. The override also routes this conv's dgrad
+        (Ci=Co_fwd, Co=Ci_fwd) and wgrad through "f" when eligible."""
+        import jax
+
+        from rsuper_tpu.ops import conv_cf
+
+        monkeypatch.setattr(conv_cf, "_form_override", "f")
+        Ci, Co = shape
+        x_cl, w = self._setup(B=2, C=Ci, Co=Co, S=(5, 6, 10), seed=7)
+        x_cf = jnp.moveaxis(x_cl, -1, 2)
+        got = jnp.moveaxis(
+            conv_cf.conv3x3x3_cf(x_cf, w, force_pallas=True, interpret=True),
+            2, -1,
+        )
+        np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-4)
+
+        def f(mode):
+            def g(x, w):
+                y = conv_cf.conv3x3x3_cf(x, w, force_pallas=mode,
+                                         interpret=mode)
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+            return g
+
+        gx_p, gw_p = jax.grad(f(True), argnums=(0, 1))(x_cf, w)
+        gx_x, gw_x = jax.grad(f(False), argnums=(0, 1))(x_cf, w)
+        np.testing.assert_allclose(gx_p, gx_x, rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(gw_p, gw_x, rtol=1e-4, atol=1e-2)
+
+    def test_pallas_form_g_small_co(self, monkeypatch):
+        """Form "g" (kh/kw stacked along M with output shifts — the tiny-Co
+        stem-dgrad/outc class): fwd + both grads vs XLA. The wgrad and the
+        Co=32 dgrad are ineligible for "g" and must silently downgrade."""
+        import jax
+
+        from rsuper_tpu.ops import conv_cf
+
+        monkeypatch.setattr(conv_cf, "_form_override", "g")
+        x_cl, w = self._setup(B=2, C=32, Co=1, S=(5, 6, 10), seed=8)
+        x_cf = jnp.moveaxis(x_cl, -1, 2)
+        got = jnp.moveaxis(
+            conv_cf.conv3x3x3_cf(x_cf, w, force_pallas=True, interpret=True),
+            2, -1,
+        )
+        np.testing.assert_allclose(got, self._golden(x_cl, w), atol=1e-4)
+
+        def f(mode):
+            def g(x, w):
+                y = conv_cf.conv3x3x3_cf(x, w, force_pallas=mode,
+                                         interpret=mode)
+                return jnp.sum(y.astype(jnp.float32) ** 2)
+            return g
+
+        gx_p, gw_p = jax.grad(f(True), argnums=(0, 1))(x_cf, w)
+        gx_x, gw_x = jax.grad(f(False), argnums=(0, 1))(x_cf, w)
+        np.testing.assert_allclose(gx_p, gx_x, rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(gw_p, gw_x, rtol=1e-4, atol=1e-2)
+
     def test_pallas_ht_mode_matches_flax(self, monkeypatch, form):
         """H-tiled kernels (the 128³ path: plane larger than the whole-plane
         VMEM budget, W 128-divisible) — multi-tile grid with h-halo refs,

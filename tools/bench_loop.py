@@ -102,6 +102,10 @@ def main():
         args.size = min(args.size, 32)
         args.steps = min(args.steps, 2)
         args.warmup = min(args.warmup, 1)
+        # fewer loader threads: they timeshare the same core as the 8
+        # device-shard threads, and a starved shard can miss XLA:CPU's 40 s
+        # collective-rendezvous deadline
+        args.workers = min(args.workers, 2)
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -134,7 +138,23 @@ def main():
     n_mesh = max(1, args.cpu_mesh)
     mesh = Mesh(np.asarray(jax.devices()[:n_mesh]).reshape(n_mesh), ("data",))
     lmap = LesionChannelMap.from_classes(CLASSES)
-    model = get_model("medformer", len(CLASSES), {}, dtype=jnp.bfloat16)
+    if args.cpu_mesh:
+        # the loop-level DP dryrun validates the PIPELINE composition
+        # (loader → DevicePrefetcher → sharded augment → sharded step), not
+        # throughput — use the dryrun_multichip-class tiny MedFormer: the
+        # full model at 32³ × 8 shards timesharing ONE core blows XLA:CPU's
+        # hardcoded 40 s collective-rendezvous window (observed F-check
+        # "Termination timeout for all reduce ... only 1 of them arrived")
+        model_cfg = {"base_chan": 4,
+                     "chan_num": (8, 16, 16, 16, 16, 16, 8, 4),
+                     "num_heads": (1, 2, 2, 2, 2, 2, 1, 1),
+                     "fusion_dim": 16, "fusion_heads": 2,
+                     "trans_num": (0, 1, 1, 1, 1, 1, 0, 0),
+                     "conv_num": (1, 0, 0, 0, 0, 0, 1, 1)}
+        model = get_model("medformer", len(CLASSES), model_cfg,
+                          dtype=jnp.float32)
+    else:
+        model = get_model("medformer", len(CLASSES), {}, dtype=jnp.bfloat16)
     tx = make_optimizer(base_lr=6e-4, warmup_epochs=0, max_epochs=100,
                         steps_per_epoch=1000)
     params = init_params_on_host(

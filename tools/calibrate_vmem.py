@@ -40,6 +40,24 @@ FORMS = ("a", "d")
 TIME_ITERS = 10
 
 
+def plane_forms(key):
+    """Candidate dot formulations for one whole-plane signature key
+    (kind, S, Ci, Co, itemsize, fused): always a/d, plus the round-5
+    small-channel forms where eligible — "f" (all 27 taps in K, for tiny
+    Ci like the 1→32 stem) and "g" (kh/kw stacked along M with output
+    shifts, for tiny Co like the stem dgrad). Eligibility mirrors
+    conv_cf._form_eligible so the sweep never queues a cell the dispatch
+    would refuse."""
+    from rsuper_tpu.ops.conv_cf import _form_eligible
+
+    kind, S, Ci, Co, itemsize, fused = key
+    forms = list(FORMS)
+    for form in ("f", "g"):
+        if _form_eligible(form, S, Ci, Co, fused, wgrad=(kind == "wgrad")):
+            forms.append(form)
+    return forms
+
+
 def plane_cells(sigs):
     """(key, sig, candidate TDs) for every whole-plane conv group. Candidates
     descend from the largest {8,4,2} divisor of the real depth; per form, the
@@ -158,7 +176,7 @@ def measure(sizes):
     done = load_done()
 
     for key, sig, tds in plane_cells(sigs):
-        for form in FORMS:
+        for form in plane_forms(key):
             for td in tds:
                 cell = ("plane", form) + key + (td,)
                 if cell in done:

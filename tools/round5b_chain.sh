@@ -33,6 +33,30 @@ run loop_r5b 5400 python tools/bench_loop.py
 run loop_inline_r5b 5400 python tools/bench_loop.py --no-overlap
 run infer_r5b 5400 python bench_infer.py
 run profile96_r5b 3600 python tools/profile_step.py
+
+# --- round-5 small-channel kernel forms (f/g): calibrate on hardware,
+# commit the regenerated table, re-gate, re-bench. The table commit happens
+# BEFORE smoke/bench so every number corresponds to a commit (r4 weak #3).
+run calib_fg 10800 python tools/calibrate_vmem.py
+run calib_emit 600 python tools/calibrate_vmem.py --emit
+if ! git diff --quiet rsuper_tpu/ops/vmem_table.py; then
+  git add rsuper_tpu/ops/vmem_table.py artifacts/vmem_calib2.jsonl
+  git commit -m "vmem_table: hardware calibration of the small-channel kernel forms f/g
+
+Measured by tools/calibrate_vmem.py on the real chip (round-5b chain);
+PREFERRED_FORM rows flip to f/g only where the new formulation both lowers
+and beats the a/d timing at the same signature."
+  run smoke_fg 3600 python bench.py --smoke || {
+    echo "SMOKE RED after f/g table — reverting table commit"
+    git revert --no-edit HEAD
+    run smoke_fg_revert 3600 python bench.py --smoke
+  }
+  run bench96_fg 5400 python bench.py
+  run bench128_fg 5400 env RSUPER_BENCH_SIZE=128 python bench.py
+else
+  echo "calibration produced no table change — skipping f/g re-bench"
+fi
+
 # A/B: k=31 segment dilation as iterated reduce_window balls (reference
 # decomposition) instead of the exact FFT ball — new step graph, one compile
 run bench96_dilate_iter 5400 env RSUPER_DILATE_BIG=iter python bench.py
