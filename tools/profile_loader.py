@@ -64,8 +64,12 @@ def main():
         foreground_classes=dcfg.foreground_class_indices(), rng=rng))
     rec, _ = t("to_channels_last",
                lambda: to_channels_last(ds.sample(0, rng)))
-    t("pack_record_masks", lambda: pack_record_masks(dict(rec), np.float16))
-    rec2 = pack_record_masks(dict(rec), np.float16)
+    t("pack_record_masks (old CL path)",
+      lambda: pack_record_masks(dict(rec), np.float16))
+    from rsuper_tpu.data.pipeline import pack_record_cf
+    t("sample+pack_record_cf (fast path)",
+      lambda: pack_record_cf(ds.sample(0, rng), np.float16))
+    rec2 = pack_record_cf(ds.sample(0, rng), np.float16)
     mb = sum(np.asarray(v).nbytes for v in rec2.values()) / 1e6
     print(f"{'packed payload':34s} {mb:8.1f} MB")
 
