@@ -35,6 +35,14 @@ STAGES = [
     "profile96", "profile_infer",
     # round-4c augment A/B (tools/round4c_chain.sh)
     "augment_r4c", "augment_shear", "loop_shear",
+    # round-5a chain (tools/round5a_chain.sh)
+    "smoke_r5a", "bench96_r5a", "bench128_r5a", "augment_r5a",
+    "augment_shear_r5a",
+    # round-5b chain (tools/round5b_chain.sh)
+    "smoke_r5b", "augment_r5b", "bench96_r5b", "bench128_r5b",
+    "loop_r5b", "loop_inline_r5b", "infer_r5b", "profile96_r5b",
+    "calib_fg", "smoke_fg", "bench96_fg", "bench128_fg",
+    "bench96_dilate_iter", "phantom_d",
 ]
 
 
