@@ -332,6 +332,68 @@ def _patch27(rows_v, W: int):
     return jnp.concatenate(blocks, axis=0)
 
 
+def _patch9(row, W: int):
+    """(9·Ci, S) kh/kw-stacked patch of ONE depth row, ordered (kh, kw, ci)
+    to match `_prep_w_e`. kw-stack first, then the kh shift of the stacked
+    block (the two shifts commute — both are lane permutations with
+    edge-zero fill)."""
+    p = _kw_patch(row, W)
+    return jnp.concatenate([_shift_h(p, kh, W) for kh in range(3)], axis=0)
+
+
+def _fwd_kernel_e(W: int, TD: int, fuse: bool, *args):
+    """Formulation-"e" whole-plane forward: per depth tap, ONE
+    (Co, 9·Ci) × (9·Ci, S) dot — the kh and kw taps stacked into the
+    contraction. vs "a" (9 dots of K=3·Ci): 3× fewer dots and, at Ci=48,
+    K=432 fills 84% of its 128-deep MXU tiles where K=144 fills 56%. Depth
+    validity stays post-dot (kd remains the loop); fused IN+relu epilogue
+    supported (rows normed at load, zero fill lands in activation space)."""
+    if fuse:
+        xp_ref, xm_ref, xn_ref, st_ref, w_ref, y_ref = args
+    else:
+        xp_ref, xm_ref, xn_ref, w_ref, y_ref = args
+        st_ref = None
+    for t in range(TD):
+        rows, valids = _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t, TD,
+                                             st_ref)
+        acc = None
+        for kd in range(3):
+            part = jax.lax.dot_general(
+                w_ref[kd], _patch9(rows[kd], W),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * valids[kd]
+            acc = part if acc is None else acc + part
+        y_ref[0, t] = acc.astype(y_ref.dtype)
+
+
+def _wgrad_kernel_e(W: int, TD: int, fuse: bool, *args):
+    """Formulation-"e" wgrad: dw[kd, co, 9·ci] += dy ⋅ patch9ᵀ — one dot
+    per depth tap with N=9·Ci (vs "a"'s three N=3·Ci dots)."""
+    if fuse:
+        xp_ref, xm_ref, xn_ref, st_ref, dy_ref, dw_ref = args
+    else:
+        xp_ref, xm_ref, xn_ref, dy_ref, dw_ref = args
+        st_ref = None
+    b = pl.program_id(0)
+
+    @pl.when((b == 0) & (pl.program_id(1) == 0))
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    for t in range(TD):
+        rows, valids = _tile_rows_and_valids(xp_ref, xm_ref, xn_ref, t, TD,
+                                             st_ref)
+        dy = dy_ref[0, t]
+        for kd in range(3):
+            part = jax.lax.dot_general(
+                dy, _patch9(rows[kd], W),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Co, 9·Ci)
+            dw_ref[kd] += part * valids[kd]
+
+
 def _fwd_kernel_f(W: int, TD: int, *args):
     """Formulation-"f" whole-plane forward for TINY C_in (the 1→32 stem
     class): ONE (Co, 27·Ci) × (27·Ci, S) dot per output row instead of 9
@@ -678,6 +740,8 @@ def _td_vmem_est(td: int, S: int, Ci: int, Co: int, itemsize: int,
     forward calibration points are in _TD_VMEM_BUDGET's comment."""
     streams = 3 * td * Ci + td * Co
     scratch = 3 * Ci + 3 * Ci  # kw-concat patch + activated depth rows
+    if form == "e":
+        scratch += 9 * Ci  # the kh/kw-stacked patch
     if wgrad:
         dy_copies = 3 * Co if form == "d" else Co
         return S * itemsize * (2 * streams + scratch + dy_copies) \
@@ -748,12 +812,14 @@ def _resolve_plane(D: int, S: int, Ci: int, Co: int, itemsize: int,
 
     if _form_override is not None:
         form = _form_override
-        if not _form_eligible(form, S, Ci, Co, fused, wgrad):
+        if not _form_eligible(form, S, Ci, Co, fused, wgrad,
+                              itemsize):
             form = "a"
         td = _td_override if _td_override is not None else max(best_td(form), 1)
         return form, td
     form = PREFERRED_FORM.get(key)
-    if form is not None and not _form_eligible(form, S, Ci, Co, fused, wgrad):
+    if form is not None and not _form_eligible(form, S, Ci, Co, fused,
+                                                wgrad, itemsize):
         form = None  # stale table row for a form this call can't run
     if form is None:
         # Unmeasured signature: form "a" is the only formulation proven to
@@ -814,6 +880,14 @@ def _prep_w_d(w):
     return w.reshape(kd, kh * co, kw * ci)
 
 
+def _prep_w_e(w):
+    """(3, 3, 3, Ci, Co) flax kernel → (kd, Co, 9·Ci) for formulation "e":
+    K ordered (kh, kw, ci) to match `_patch9`."""
+    w = jnp.transpose(w, (0, 4, 1, 2, 3))  # (kd, co, kh, kw, ci)
+    kd, co = w.shape[:2]
+    return w.reshape(kd, co, 9 * w.shape[-1])
+
+
 def _prep_w_f(w):
     """(3, 3, 3, Ci, Co) flax kernel → (Co, 27·Ci) for formulation "f":
     every tap in the contraction, K ordered (kd, kh, kw, ci) to match
@@ -834,13 +908,19 @@ def _prep_w_g(w):
 # form-"f" eligibility: the f32 (27·Ci, S) patch must stay a small slice of
 # scoped VMEM (the form exists for the tiny-Ci stem class; at Ci=1/96² it is
 # 1 MB). form "g" stacks 9·Co along M — only a win while Co is far below the
-# 128-sublane tile.
+# 128-sublane tile. form "e" carries a (9·Ci, S) patch in the operand dtype;
+# the budget admits the 48³/128³ pair convs (Ci=64, S≤4096: 2.65 MB) and the
+# 96² Ci≤32 planes — whether the biggest admitted shapes actually lower is
+# the calibrator's verdict, not the estimate's.
 _F_PATCH_BUDGET = 4_000_000  # bytes of the f32 (27·Ci, S) patch
+_E_PATCH_BUDGET = 6_000_000  # bytes of the (9·Ci, S) patch
 _G_CO_MAX = 4
 
 
 def _form_eligible(form: str, S: int, Ci: int, Co: int, fused: bool,
-                   wgrad: bool) -> bool:
+                   wgrad: bool, itemsize: int = 2) -> bool:
+    if form == "e":
+        return 9 * Ci * S * itemsize <= _E_PATCH_BUDGET
     if form == "f":
         return not fused and 27 * Ci * S * 4 <= _F_PATCH_BUDGET
     if form == "g":
@@ -981,6 +1061,10 @@ def _conv3_cf_pallas(x, w, interpret=False, stats=None):
         kernel = functools.partial(_fwd_kernel_d, W, Co, TD, fuse)
         w_prep = _prep_w_d(w).astype(x.dtype)
         w_spec = pl.BlockSpec((3, 3 * Co, 3 * Ci), lambda b, d: (0, 0, 0))
+    elif form == "e":
+        kernel = functools.partial(_fwd_kernel_e, W, TD, fuse)
+        w_prep = _prep_w_e(w).astype(x.dtype)
+        w_spec = pl.BlockSpec((3, Co, 9 * Ci), lambda b, d: (0, 0, 0))
     elif form == "f":
         kernel = functools.partial(_fwd_kernel_f, W, TD)
         w_prep = _prep_w_f(w).astype(x.dtype)
@@ -1069,6 +1153,10 @@ def _wgrad_pallas(x, dy, Co, interpret=False, stats=None):
         kernel = functools.partial(_wgrad_kernel_d, W, Co, TD, fuse)
         out_spec = pl.BlockSpec((3, 3 * Co, 3 * Ci), lambda b, d: (0, 0, 0))
         out_shape = jax.ShapeDtypeStruct((3, 3 * Co, 3 * Ci), jnp.float32)
+    elif form == "e":
+        kernel = functools.partial(_wgrad_kernel_e, W, TD, fuse)
+        out_spec = pl.BlockSpec((3, Co, 9 * Ci), lambda b, d: (0, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((3, Co, 9 * Ci), jnp.float32)
     elif form == "f":
         kernel = functools.partial(_wgrad_kernel_f, W, TD)
         out_spec = pl.BlockSpec((Co, 27 * Ci), lambda b, d: (0, 0))
@@ -1087,6 +1175,10 @@ def _wgrad_pallas(x, dy, Co, interpret=False, stats=None):
         out_shape=out_shape,
         interpret=interpret,
     )(xf, xf, xf, *st, dyf)
+    if form == "e":
+        # (kd, co, kh·kw·ci) → flax layout (kd, kh, kw, ci, co)
+        dw = dw.reshape(3, Co, 3, 3, Ci)
+        return jnp.transpose(dw, (0, 2, 3, 4, 1))
     if form == "f":
         # (co, kd·kh·kw·ci) → flax layout (kd, kh, kw, ci, co)
         dw = dw.reshape(Co, 3, 3, 3, Ci)

@@ -418,11 +418,12 @@ class TestConvCF:
     validated in interpret mode (real lowering is exercised by bench.py on
     TPU hardware)."""
 
-    @pytest.fixture(params=["a", "d"])
+    @pytest.fixture(params=["a", "d", "e"])
     def form(self, request, monkeypatch):
-        """Pin the dot formulation ("a" per-tap / "d" kh-stacked) so both
-        kernel families get interpret-mode coverage regardless of what the
-        hardware-calibrated table would pick."""
+        """Pin the dot formulation ("a" per-tap / "d" kh-stacked / "e"
+        kh+kw-K-stacked) so every kernel family gets interpret-mode coverage
+        regardless of what the hardware-calibrated table would pick. The
+        H-tiled dispatch has no "e" kernels and silently runs "a" there."""
         from rsuper_tpu.ops import conv_cf
 
         monkeypatch.setattr(conv_cf, "_form_override", request.param)

@@ -52,8 +52,9 @@ def plane_forms(key):
 
     kind, S, Ci, Co, itemsize, fused = key
     forms = list(FORMS)
-    for form in ("f", "g"):
-        if _form_eligible(form, S, Ci, Co, fused, wgrad=(kind == "wgrad")):
+    for form in ("e", "f", "g"):
+        if _form_eligible(form, S, Ci, Co, fused,
+                          wgrad=(kind == "wgrad"), itemsize=itemsize):
             forms.append(form)
     return forms
 
