@@ -365,7 +365,24 @@ def main(argv=None):
     for s in range(args.seed, args.seed + args.seeds):
         out = (args.out if args.seeds == 1
                else os.path.join(args.out, f"seed{s}"))
-        per_seed.append(run_one_seed(out, args, s))
+        # incremental persistence + resume: a killed multi-seed run (TPU
+        # window closing, round ending) keeps every completed seed — rerun
+        # with the same --out to pick up where it stopped, or aggregate the
+        # result.json files by hand
+        done_path = os.path.join(out, "result.json")
+        if args.seeds > 1 and os.path.exists(done_path):
+            with open(done_path) as f:
+                per_seed.append(json.load(f))
+            print(f"[phantom] seed {s}: cached result.json", flush=True)
+            continue
+        rec = run_one_seed(out, args, s)
+        per_seed.append(rec)
+        if args.seeds > 1:
+            os.makedirs(out, exist_ok=True)
+            tmp = done_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(rec, f, indent=2)
+            os.replace(tmp, done_path)
 
     def aggregate(rows):
         def agg(arm, key):
