@@ -129,26 +129,37 @@ def instance_norm_axes(x, spatial_axes, eps: float = 1e-4):
 
 
 def _instance_norm_axes_fwd(x, spatial_axes, eps: float):
+    # Bandwidth discipline (round-5 trace, PatchMerging ≈ 11.6 ms/step with
+    # ~5 ms in convert fusions + materialized f32 copies of the 8-D split
+    # view): no f32 image of x may have MORE THAN ONE consumer, or XLA
+    # materializes it (113 MB at 96³). Stats reduce the bf16 tensor with a
+    # f32 accumulator (`dtype=` fuses the convert into the reduce); the
+    # elementwise apply is then the only consumer of its own cast, so the
+    # whole normalize chain fuses into one read of x.
     n = 1
     for d in spatial_axes:
         n *= x.shape[d]
-    x32 = x.astype(jnp.float32)
-    s1 = jnp.sum(x32, axis=spatial_axes, keepdims=True)
-    s2 = jnp.sum(x32 * x32, axis=spatial_axes, keepdims=True)
+    s1 = jnp.sum(x, axis=spatial_axes, keepdims=True, dtype=jnp.float32)
+    # bf16 x·x then f32-accumulated sum: the product's 2^-8 relative error
+    # averages down by √n over the ≥10⁵-voxel reduction — noise next to eps
+    s2 = jnp.sum(x * x, axis=spatial_axes, keepdims=True, dtype=jnp.float32)
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
-    y = ((x32 - mean) * inv).astype(x.dtype)
+    y = ((x.astype(jnp.float32) - mean) * inv).astype(x.dtype)
     return y, (y, inv)
 
 
 def _instance_norm_axes_bwd(spatial_axes, eps: float, res, dy):
+    # same single-consumer rule as the forward: m1/m2 reduce bf16 inputs
+    # with f32 accumulators, and dx's own casts fuse into its one
+    # elementwise chain
     y, inv = res
-    dy32 = dy.astype(jnp.float32)
-    y32 = y.astype(jnp.float32)
-    m1 = jnp.mean(dy32, axis=spatial_axes, keepdims=True)
-    m2 = jnp.mean(dy32 * y32, axis=spatial_axes, keepdims=True)
-    dx = (inv * (dy32 - m1 - y32 * m2)).astype(dy.dtype)
+    m1 = jnp.mean(dy, axis=spatial_axes, keepdims=True, dtype=jnp.float32)
+    m2 = jnp.mean(dy * y, axis=spatial_axes, keepdims=True,
+                  dtype=jnp.float32)
+    dx = (inv * (dy.astype(jnp.float32) - m1
+                 - y.astype(jnp.float32) * m2)).astype(dy.dtype)
     return (dx,)
 
 
