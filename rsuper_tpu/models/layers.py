@@ -55,25 +55,26 @@ def _instance_norm_fwd(x, eps: float):
     n = 1
     for d in spatial:
         n *= x.shape[d]
-    x32 = x.astype(jnp.float32)
-    # one pass: Σx and Σx² fuse into a single sweep
-    s1 = jnp.sum(x32, axis=spatial, keepdims=True)
-    s2 = jnp.sum(x32 * x32, axis=spatial, keepdims=True)
+    # f32 accumulators fused INTO the reduces (dtype=) + a single-consumer
+    # cast in the apply chain: no materialized f32 image of x (the
+    # multi-consumer x32 pattern cost ~5 ms/step in PatchMerging's round-5
+    # trace; same discipline as instance_norm_axes)
+    s1 = jnp.sum(x, axis=spatial, keepdims=True, dtype=jnp.float32)
+    s2 = jnp.sum(x * x, axis=spatial, keepdims=True, dtype=jnp.float32)
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
-    y = ((x32 - mean) * inv).astype(x.dtype)
+    y = ((x.astype(jnp.float32) - mean) * inv).astype(x.dtype)
     return y, (y, inv)
 
 
 def _instance_norm_bwd(eps: float, res, dy):
     y, inv = res
     spatial = tuple(range(1, dy.ndim - 1))
-    dy32 = dy.astype(jnp.float32)
-    y32 = y.astype(jnp.float32)
-    m1 = jnp.mean(dy32, axis=spatial, keepdims=True)
-    m2 = jnp.mean(dy32 * y32, axis=spatial, keepdims=True)
-    dx = (inv * (dy32 - m1 - y32 * m2)).astype(dy.dtype)
+    m1 = jnp.mean(dy, axis=spatial, keepdims=True, dtype=jnp.float32)
+    m2 = jnp.mean(dy * y, axis=spatial, keepdims=True, dtype=jnp.float32)
+    dx = (inv * (dy.astype(jnp.float32) - m1
+                 - y.astype(jnp.float32) * m2)).astype(dy.dtype)
     return (dx,)
 
 
@@ -92,24 +93,22 @@ def _instance_norm_cf_fwd(x, eps: float):
     n = 1
     for d in spatial:
         n *= x.shape[d]
-    x32 = x.astype(jnp.float32)
-    s1 = jnp.sum(x32, axis=spatial, keepdims=True)
-    s2 = jnp.sum(x32 * x32, axis=spatial, keepdims=True)
+    s1 = jnp.sum(x, axis=spatial, keepdims=True, dtype=jnp.float32)
+    s2 = jnp.sum(x * x, axis=spatial, keepdims=True, dtype=jnp.float32)
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
-    y = ((x32 - mean) * inv).astype(x.dtype)
+    y = ((x.astype(jnp.float32) - mean) * inv).astype(x.dtype)
     return y, (y, inv)
 
 
 def _instance_norm_cf_bwd(eps: float, res, dy):
     y, inv = res
     spatial = (1,) + tuple(range(3, dy.ndim))
-    dy32 = dy.astype(jnp.float32)
-    y32 = y.astype(jnp.float32)
-    m1 = jnp.mean(dy32, axis=spatial, keepdims=True)
-    m2 = jnp.mean(dy32 * y32, axis=spatial, keepdims=True)
-    dx = (inv * (dy32 - m1 - y32 * m2)).astype(dy.dtype)
+    m1 = jnp.mean(dy, axis=spatial, keepdims=True, dtype=jnp.float32)
+    m2 = jnp.mean(dy * y, axis=spatial, keepdims=True, dtype=jnp.float32)
+    dx = (inv * (dy.astype(jnp.float32) - m1
+                 - y.astype(jnp.float32) * m2)).astype(dy.dtype)
     return (dx,)
 
 

@@ -1263,10 +1263,11 @@ def _in_stats_cf(x, eps: float):
     kernels: (B, 2, C, 1) f32 with [:, 0] = 1/σ and [:, 1] = −μ/σ, so the
     in-kernel epilogue is one multiply-add per element. One fused XLA
     reduction sweep."""
-    x32 = x.astype(jnp.float32)
     n = x.shape[1] * x.shape[3] * x.shape[4]
-    s1 = jnp.sum(x32, axis=(1, 3, 4))
-    s2 = jnp.sum(x32 * x32, axis=(1, 3, 4))
+    # dtype= fuses the f32 accumulation into the reduces — no materialized
+    # f32 image of x (see layers.instance_norm_axes)
+    s1 = jnp.sum(x, axis=(1, 3, 4), dtype=jnp.float32)
+    s2 = jnp.sum(x * x, axis=(1, 3, 4), dtype=jnp.float32)
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
