@@ -62,9 +62,14 @@ class TrainConfig:
     host_augment: bool = False
     # device-resident input prefetch depth: a transfer thread device_puts
     # (and dispatches the augment for) batch N+1 while step N runs
-    # (data/pipeline.DevicePrefetcher). 0 = inline transfers (round-4
-    # behaviour, for A/B)
-    device_prefetch: int = 2
+    # (data/pipeline.DevicePrefetcher). 0 = inline transfers, the DEFAULT:
+    # the round-5b A/B measured inline at 4.52 patches/s vs 2.08 with the
+    # transfer thread (exp_loop_inline_r5b.log vs exp_loop_r5b.log) — JAX's
+    # async dispatch already overlaps the H2D/augment/step queue through
+    # the relay, and a second thread issuing transfers contends with the
+    # step thread instead of hiding anything. Depth > 0 re-enables the
+    # thread for hosts where it measures faster.
+    device_prefetch: int = 0
     # losses (see losses.dispatcher.LossConfig)
     loss: str = "ball_dice_last"
     aux_weight: Tuple[float, ...] = (0.5, 0.5)
