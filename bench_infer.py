@@ -22,6 +22,7 @@ from bench import CLASSES
 
 
 def main():
+    B = int(os.environ.get("RSUPER_INFER_BATCH", "4"))
     from rsuper_tpu.inference import sliding_window_inference
     from rsuper_tpu.inference.predict import predict_masks_volume
     from rsuper_tpu.models import get_model
@@ -42,14 +43,14 @@ def main():
 
     t0 = time.time()
     probs = sliding_window_inference(apply_fn, params, vol, C,
-                                     window=(96, 96, 96), batch=4)
+                                     window=(96, 96, 96), batch=B)
     warm = time.time() - t0  # includes compile
 
     t0 = time.time()
     reps = 3
     for _ in range(reps):
         probs = sliding_window_inference(apply_fn, params, vol, C,
-                                         window=(96, 96, 96), batch=4)
+                                         window=(96, 96, 96), batch=B)
     elapsed = (time.time() - t0) / reps
     assert np.isfinite(probs).all()
 
@@ -58,14 +59,14 @@ def main():
     lesion_idx = [i for i, c in enumerate(CLASSES) if "lesion" in c]
     t0 = time.time()
     out = predict_masks_volume([apply_fn], [params], vol, CLASSES,
-                               window=(96, 96, 96), batch=4,
+                               window=(96, 96, 96), batch=B,
                                prob_channels=lesion_idx)
     warm_prob = time.time() - t0
     t0 = time.time()
     for _ in range(reps):
         _, lesion_probs = predict_masks_volume(
             [apply_fn], [params], vol, CLASSES, window=(96, 96, 96),
-            batch=4, prob_channels=lesion_idx)
+            batch=B, prob_channels=lesion_idx)
     elapsed_lesion = (time.time() - t0) / reps
     assert lesion_probs.shape == vol.shape + (len(lesion_idx),)
 
@@ -73,17 +74,18 @@ def main():
     # bit-packed uint8 transfer (32x less D2H than f32 probabilities)
     t0 = time.time()
     masks = predict_masks_volume([apply_fn], [params], vol, CLASSES,
-                                 window=(96, 96, 96), batch=4)
+                                 window=(96, 96, 96), batch=B)
     warm_masks = time.time() - t0
     t0 = time.time()
     for _ in range(reps):
         masks = predict_masks_volume([apply_fn], [params], vol, CLASSES,
-                                     window=(96, 96, 96), batch=4)
+                                     window=(96, 96, 96), batch=B)
     elapsed_masks = (time.time() - t0) / reps
     assert masks["pancreas"].shape == vol.shape
 
     print(json.dumps({
-        "metric": "sliding_window_volumes_per_min_per_chip",
+        "metric": "sliding_window_volumes_per_min_per_chip"
+                  + (f"_b{B}" if B != 4 else ""),
         "value": round(60.0 / elapsed_masks, 2),
         "unit": "256^3 volumes/min (96^3 windows, 0.5 overlap, MedFormer, "
                 "device postprocess + packed-mask transfer)",
