@@ -55,16 +55,20 @@ def _instance_norm_fwd(x, eps: float):
     n = 1
     for d in spatial:
         n *= x.shape[d]
-    # f32 accumulators fused INTO the reduces (dtype=) + a single-consumer
-    # cast in the apply chain: no materialized f32 image of x (the
-    # multi-consumer x32 pattern cost ~5 ms/step in PatchMerging's round-5
-    # trace; same discipline as instance_norm_axes)
-    s1 = jnp.sum(x, axis=spatial, keepdims=True, dtype=jnp.float32)
-    s2 = jnp.sum(x * x, axis=spatial, keepdims=True, dtype=jnp.float32)
+    # forward keeps the materialized x32 (sibling-fused s1/s2 sweeps + the
+    # apply all read it): the round-5c A/B that moved these reduces onto the
+    # bf16 tensor with dtype= accumulators REGRESSED the forward ~40%
+    # (strided bf16 multi-axis reductions lower worse than one f32
+    # materialize + fast sweeps — PatchMerging fwd 4.3 -> 6.1 ms/step,
+    # exp_profile96_r5b.log); the same restructure in the BACKWARD is a
+    # measured win and stays (see _instance_norm_bwd)
+    x32 = x.astype(jnp.float32)
+    s1 = jnp.sum(x32, axis=spatial, keepdims=True)
+    s2 = jnp.sum(x32 * x32, axis=spatial, keepdims=True)
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
-    y = ((x.astype(jnp.float32) - mean) * inv).astype(x.dtype)
+    y = ((x32 - mean) * inv).astype(x.dtype)
     return y, (y, inv)
 
 
@@ -93,12 +97,13 @@ def _instance_norm_cf_fwd(x, eps: float):
     n = 1
     for d in spatial:
         n *= x.shape[d]
-    s1 = jnp.sum(x, axis=spatial, keepdims=True, dtype=jnp.float32)
-    s2 = jnp.sum(x * x, axis=spatial, keepdims=True, dtype=jnp.float32)
+    x32 = x.astype(jnp.float32)  # see _instance_norm_fwd: fwd keeps x32
+    s1 = jnp.sum(x32, axis=spatial, keepdims=True)
+    s2 = jnp.sum(x32 * x32, axis=spatial, keepdims=True)
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
-    y = ((x.astype(jnp.float32) - mean) * inv).astype(x.dtype)
+    y = ((x32 - mean) * inv).astype(x.dtype)
     return y, (y, inv)
 
 
@@ -128,24 +133,16 @@ def instance_norm_axes(x, spatial_axes, eps: float = 1e-4):
 
 
 def _instance_norm_axes_fwd(x, spatial_axes, eps: float):
-    # Bandwidth discipline (round-5 trace, PatchMerging ≈ 11.6 ms/step with
-    # ~5 ms in convert fusions + materialized f32 copies of the 8-D split
-    # view): no f32 image of x may have MORE THAN ONE consumer, or XLA
-    # materializes it (113 MB at 96³). Stats reduce the bf16 tensor with a
-    # f32 accumulator (`dtype=` fuses the convert into the reduce); the
-    # elementwise apply is then the only consumer of its own cast, so the
-    # whole normalize chain fuses into one read of x.
     n = 1
     for d in spatial_axes:
         n *= x.shape[d]
-    s1 = jnp.sum(x, axis=spatial_axes, keepdims=True, dtype=jnp.float32)
-    # bf16 x·x then f32-accumulated sum: the product's 2^-8 relative error
-    # averages down by √n over the ≥10⁵-voxel reduction — noise next to eps
-    s2 = jnp.sum(x * x, axis=spatial_axes, keepdims=True, dtype=jnp.float32)
+    x32 = x.astype(jnp.float32)  # see _instance_norm_fwd: fwd keeps x32
+    s1 = jnp.sum(x32, axis=spatial_axes, keepdims=True)
+    s2 = jnp.sum(x32 * x32, axis=spatial_axes, keepdims=True)
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
-    y = ((x.astype(jnp.float32) - mean) * inv).astype(x.dtype)
+    y = ((x32 - mean) * inv).astype(x.dtype)
     return y, (y, inv)
 
 
