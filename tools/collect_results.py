@@ -43,6 +43,11 @@ STAGES = [
     "loop_r5b", "loop_inline_r5b", "infer_r5b", "profile96_r5b",
     "calib_fg", "smoke_fg", "bench96_fg", "bench128_fg",
     "bench96_dilate_iter", "phantom_d",
+    # round-5d chain (tools/round5d_chain.sh — the 5c plan on the fresh
+    # checkout; the previous session's artifacts were lost)
+    "smoke_r5d", "calib_efg", "smoke_efg", "bench96_r5d", "bench128_r5d",
+    "infer_r5d", "infer_b8_r5d", "loop_inline_r5d", "profile96_r5d",
+    "phantom_d_wrap",
 ]
 
 
