@@ -209,7 +209,18 @@ _ITEMSIZE = {"bfloat16": 2, "float16": 2, "float32": 4, "float64": 8}
 
 
 def emit():
+    """Regenerate ops/vmem_table.py by MERGING the live table with the
+    measurements in artifacts/vmem_calib2.jsonl. Merging (not replacing)
+    matters: the jsonl lives in gitignored artifacts/ and dies with the
+    checkout, so a partial re-calibration (e.g. --sizes 96 only) must not
+    drop hardware-measured rows for the other sizes — exactly what a
+    pure-regenerate emit did once (round 5d: the 96³-only sweep erased the
+    S=4096 rows and both HT tables; restored from git in round 5e)."""
     done = load_done()
+    import importlib
+
+    from rsuper_tpu.ops import vmem_table
+    importlib.reload(vmem_table)
     caps, times = {}, {}
     for cell, rec in sorted(done.items()):
         if cell[0] != "plane":
@@ -246,23 +257,39 @@ def emit():
             ht_pref[key] = (form, rec["ms"])
             ht_th[key] = th
 
+    # Merge: fresh measurements overlay the live table; rows only the live
+    # table knows (measured in an earlier sweep whose jsonl is gone) survive.
+    merged_caps = {**vmem_table.MEASURED_TD, **caps}
+    # PREFERRED_FORM carries a timing comment; keep the old ms for keys the
+    # jsonl can't re-derive.
+    merged_pref = {k: (f, None) for k, f in vmem_table.PREFERRED_FORM.items()}
+    merged_pref.update(preferred)
+    merged_ht = {k: (f, None) for k, f in vmem_table.PREFERRED_FORM_HT.items()}
+    merged_ht.update(ht_pref)
+    merged_th = {**vmem_table.CALIBRATED_TH, **ht_th}
+
+    def _pref_line(key, form, ms):
+        note = f"  # {ms:.3f} ms" if ms is not None else "  # (earlier sweep)"
+        return f"    {key!r}: {form!r},{note}"
+
     head = Path(TABLE).read_text().split("# provenance:")[0]
     lines = [head.rstrip(), "",
-             "# provenance: generated by tools/calibrate_vmem.py from",
-             f"# artifacts/vmem_calib2.jsonl ({len(done)} measured cells)",
+             "# provenance: generated by tools/calibrate_vmem.py: the live",
+             f"# table merged with artifacts/vmem_calib2.jsonl ({len(done)}"
+             " measured cells)",
              "MEASURED_TD = {"]
-    for fkey, cap in sorted(caps.items()):
+    for fkey, cap in sorted(merged_caps.items()):
         lines.append(f"    {fkey!r}: {cap},")
     lines.append("}")
     lines.append("")
     lines.append("PREFERRED_FORM = {")
-    for key, (form, ms) in sorted(preferred.items()):
-        lines.append(f"    {key!r}: {form!r},  # {ms:.3f} ms")
+    for key, (form, ms) in sorted(merged_pref.items()):
+        lines.append(_pref_line(key, form, ms))
     lines.append("}")
     lines.append("")
     lines.append("PREFERRED_FORM_HT = {")
-    for key, (form, ms) in sorted(ht_pref.items()):
-        lines.append(f"    {key!r}: {form!r},  # {ms:.3f} ms")
+    for key, (form, ms) in sorted(merged_ht.items()):
+        lines.append(_pref_line(key, form, ms))
     lines.append("}")
     lines.append("")
     lines.append("# TH (H rows per tile) in effect when each HT verdict was")
@@ -270,12 +297,13 @@ def emit():
     lines.append("# longer matches the live _pick_th, forcing recalibration")
     lines.append("# instead of silently reusing a stale form pick.")
     lines.append("CALIBRATED_TH = {")
-    for key, th in sorted(ht_th.items()):
+    for key, th in sorted(merged_th.items()):
         lines.append(f"    {key!r}: {th},")
     lines.append("}")
     TABLE.write_text("\n".join(lines) + "\n")
-    print(f"wrote {TABLE} with {len(caps)} caps, {len(preferred)} plane "
-          f"picks, {len(ht_pref)} ht picks")
+    print(f"wrote {TABLE} with {len(merged_caps)} caps, {len(merged_pref)} "
+          f"plane picks, {len(merged_ht)} ht picks "
+          f"({len(caps)}/{len(preferred)}/{len(ht_pref)} from this jsonl)")
 
 
 def check(sizes):
