@@ -55,18 +55,20 @@ def main():
     assert np.isfinite(probs).all()
 
     # the --save_probabilities path as the predict CLI actually runs it:
-    # packed masks + device-sliced LESION-channel f16 probs, one pass
+    # packed masks + device-sliced LESION-channel probs, one pass
+    # (RSUPER_PROB_WIRE=f16 A/Bs the exact-half transfer vs the u8 default)
+    wire = os.environ.get("RSUPER_PROB_WIRE", "u8")
     lesion_idx = [i for i, c in enumerate(CLASSES) if "lesion" in c]
     t0 = time.time()
     out = predict_masks_volume([apply_fn], [params], vol, CLASSES,
                                window=(96, 96, 96), batch=B,
-                               prob_channels=lesion_idx)
+                               prob_channels=lesion_idx, prob_wire=wire)
     warm_prob = time.time() - t0
     t0 = time.time()
     for _ in range(reps):
         _, lesion_probs = predict_masks_volume(
             [apply_fn], [params], vol, CLASSES, window=(96, 96, 96),
-            batch=B, prob_channels=lesion_idx)
+            batch=B, prob_channels=lesion_idx, prob_wire=wire)
     elapsed_lesion = (time.time() - t0) / reps
     assert lesion_probs.shape == vol.shape + (len(lesion_idx),)
 
@@ -92,6 +94,7 @@ def main():
         "seconds_per_volume": round(elapsed_masks, 2),
         "seconds_per_volume_prob_transfer": round(elapsed, 2),
         "seconds_per_volume_masks_plus_lesion_probs": round(elapsed_lesion, 2),
+        "prob_wire": wire,
         "first_call_with_compile_s": round(warm + warm_masks + warm_prob, 1),
     }))
 

@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--no_organ_gating", action="store_true")
     p.add_argument("--connected_components", action="store_true")
     p.add_argument("--save_probabilities", action="store_true")
+    p.add_argument("--prob_wire", default="u8", choices=["u8", "f16"],
+                   help="D2H format for --save_probabilities lesion "
+                        "channels: u8 halves the transfer (error <= 1/510); "
+                        "f16 is exact half precision")
     p.add_argument("--ids_csv", default=None, help="CSV with BDMAP_ID column")
     p.add_argument("--parts", type=int, default=1)
     p.add_argument("--part", type=int, default=0)
@@ -94,6 +98,7 @@ def main(argv=None):
         organ_mask_on_lesion=not args.no_organ_gating,
         connected_components=args.connected_components,
         save_probabilities=args.save_probabilities,
+        prob_wire=args.prob_wire,
         ids=ids, parts=args.parts, part=args.part,
     )
     print(f"predicted {len(done)} cases")

@@ -29,6 +29,10 @@ from .sliding_window import sliding_window_inference, sliding_window_probs_devic
 
 Z_CHUNK = 800  # reference: z-chunking for >800-slice scans
 
+# u8→f16 probability restore table (one 256-entry gather beats a 100 MB
+# float temp on the 1-core host)
+_U8_PROB_LUT = (np.arange(256, dtype=np.float32) / 255.0).astype(np.float16)
+
 
 def keep_largest_component(mask: np.ndarray) -> np.ndarray:
     lab, n = ndi.label(mask > 0)
@@ -209,20 +213,28 @@ def predict_masks_volume(
     organ_dilation: int = 3,
     connected_components: bool = False,
     prob_channels: Optional[Sequence[int]] = None,
+    prob_wire: str = "u8",
 ):
     """Ensemble → threshold → organ-gate → bit-pack, all on device; transfers
     only packed uint8 masks. Host does unpacking + optional largest-CC.
 
     `prob_channels`: optional class indices whose blended ensemble
-    probabilities are ALSO returned (f16, sliced on device from the same
+    probabilities are ALSO returned (sliced on device from the same
     accumulator — no second inference pass). The prob consumers
     (``--save_probabilities`` → detection eval) only ever read the lesion
     channels (`predict_folder`), so transferring those 3-of-C channels cuts
     the probability D2H payload ~C/3× vs a full float volume. Returns
     `masks` alone, or `(masks, probs)` with probs (D, H, W, len(channels))
-    float16."""
+    float16.
+
+    `prob_wire` picks the D2H format for those channels: ``"u8"`` (default)
+    rounds p·255 on device and restores on host — half the f16 payload,
+    worst-case error 1/510, far below the detection eval's 0.1-spaced
+    thresholds; ``"f16"`` keeps the exact half-precision transfer."""
     want_probs = prob_channels is not None
     chan = tuple(int(c) for c in prob_channels) if want_probs else ()
+    if prob_wire not in ("u8", "f16"):
+        raise ValueError(f"prob_wire must be 'u8' or 'f16', got {prob_wire!r}")
 
     def run(vol):
         acc = None
@@ -238,8 +250,11 @@ def predict_masks_volume(
         )
         if not want_probs:
             return np.asarray(packed), None
-        psel = mean[..., jnp.asarray(chan)].astype(jnp.float16)
-        return np.asarray(packed), np.asarray(psel)
+        psel = mean[..., jnp.asarray(chan)]
+        if prob_wire == "u8":
+            wire = jnp.round(jnp.clip(psel, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            return np.asarray(packed), _U8_PROB_LUT[np.asarray(wire)]
+        return np.asarray(packed), np.asarray(psel.astype(jnp.float16))
 
     D = volume.shape[0]
     if D <= Z_CHUNK:
@@ -347,6 +362,7 @@ def predict_folder(
     organ_mask_on_lesion: bool = True,
     connected_components: bool = False,
     save_probabilities: bool = False,
+    prob_wire: str = "u8",
     ids: Optional[Sequence[str]] = None,
     parts: int = 1,
     part: int = 0,
@@ -389,6 +405,7 @@ def predict_folder(
                     batch=batch, threshold=threshold,
                     connected_components=connected_components,
                     prob_channels=lesion_idx if save_probabilities else None,
+                    prob_wire=prob_wire,
                 )
                 if save_probabilities:
                     masks, lesion_probs = out

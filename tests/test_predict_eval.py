@@ -337,13 +337,27 @@ def test_predict_masks_prob_channels_parity():
                                       window=(16, 16, 16), batch=2)
     masks, probs = predict_masks_volume([apply_fn], [None], vol, classes,
                                         window=(16, 16, 16), batch=2,
-                                        prob_channels=[1])
+                                        prob_channels=[1], prob_wire="f16")
     assert probs.dtype == np.float16 and probs.shape == vol.shape + (1,)
     for cls in classes:
         np.testing.assert_array_equal(masks[cls], masks_only[cls])
     full = predict_volume([apply_fn], [None], vol, 2,
                           window=(16, 16, 16), batch=2)
     np.testing.assert_allclose(probs[..., 0], full[..., 1], atol=2e-3)
+
+    # the u8 wire default: half the D2H payload, error bounded by 1/510
+    masks_u8, probs_u8 = predict_masks_volume(
+        [apply_fn], [None], vol, classes, window=(16, 16, 16), batch=2,
+        prob_channels=[1], prob_wire="u8")
+    assert probs_u8.dtype == np.float16
+    for cls in classes:
+        np.testing.assert_array_equal(masks_u8[cls], masks_only[cls])
+    np.testing.assert_allclose(probs_u8[..., 0], full[..., 1],
+                               atol=1 / 510 + 2e-3)
+    with pytest.raises(ValueError):
+        predict_masks_volume([apply_fn], [None], vol, classes,
+                             window=(16, 16, 16), batch=2,
+                             prob_channels=[1], prob_wire="f32")
 
 
 def test_predict_folder_end_to_end(tmp_path):
