@@ -48,6 +48,11 @@ STAGES = [
     "smoke_r5d", "calib_efg", "smoke_efg", "bench96_r5d", "bench128_r5d",
     "infer_r5d", "infer_b8_r5d", "loop_inline_r5d", "profile96_r5d",
     "phantom_d_wrap",
+    # round-5e chain (tools/round5e_chain.sh — headlines first; stages also
+    # append to the tracked docs/results_r5e.md as they complete)
+    "smoke_r5e", "bench96_r5e", "bench128_r5e", "infer_b4_r5e",
+    "infer_b8_r5e", "loop_inline_r5e", "calib_e128_r5e", "smoke_e128_r5e",
+    "bench128_e_r5e", "profile96_r5e", "phantom_d_r5e",
 ]
 
 
