@@ -2,7 +2,9 @@
 """Secondary benchmark: sliding-window inference throughput.
 
 Measures whole-volume prediction speed (MedFormer, 96³ windows, half overlap,
-4-window batches, on-device accumulation) on a synthetic 256×256×256 CT —
+8-window batches, on-device accumulation) on a synthetic 256×256×256 CT.
+The round-5e hardware A/B measured batch 8 at 6.96 s/volume vs batch 4's
+8.6, so 8 is the default (RSUPER_INFER_BATCH overrides) —
 the reference's predict path round-trips every window through the CPU
 (``inference/inference3d.py:63-103``); this one transfers a single blended
 volume. Prints one JSON line: volumes/min/chip.
@@ -22,7 +24,7 @@ from bench import CLASSES
 
 
 def main():
-    B = int(os.environ.get("RSUPER_INFER_BATCH", "4"))
+    B = int(os.environ.get("RSUPER_INFER_BATCH", "8"))
     from rsuper_tpu.inference import sliding_window_inference
     from rsuper_tpu.inference.predict import predict_masks_volume
     from rsuper_tpu.models import get_model
@@ -87,7 +89,7 @@ def main():
 
     print(json.dumps({
         "metric": "sliding_window_volumes_per_min_per_chip"
-                  + (f"_b{B}" if B != 4 else ""),
+                  + (f"_b{B}" if B != 8 else ""),
         "value": round(60.0 / elapsed_masks, 2),
         "unit": "256^3 volumes/min (96^3 windows, 0.5 overlap, MedFormer, "
                 "device postprocess + packed-mask transfer)",

@@ -25,7 +25,7 @@ def main(argv=None):
     p.add_argument("--arch", default="medformer")
     p.add_argument("--model_args_json", default=None)
     p.add_argument("--window", type=int, nargs=3, default=(128, 128, 128))
-    p.add_argument("--batch_windows", type=int, default=4)
+    p.add_argument("--batch_windows", type=int, default=8)
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--ema", action="store_true", help="use EMA weights")
     p.add_argument("--no_organ_gating", action="store_true")

@@ -207,7 +207,7 @@ def predict_masks_volume(
     volume: np.ndarray,
     classes: Sequence[str],
     window=(128, 128, 128),
-    batch: int = 4,
+    batch: int = 8,
     organ_mask: Optional[np.ndarray] = None,
     threshold: float = 0.5,
     organ_dilation: int = 3,
@@ -321,7 +321,7 @@ def predict_volume(
     volume: np.ndarray,
     num_classes: int,
     window=(128, 128, 128),
-    batch: int = 4,
+    batch: int = 8,
     organ_mask: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Ensemble-averaged probabilities with z-chunking for huge scans."""
@@ -357,7 +357,7 @@ def predict_folder(
     output_dir: str,
     classes: Sequence[str],
     window=(128, 128, 128),
-    batch: int = 4,
+    batch: int = 8,
     threshold: float = 0.5,
     organ_mask_on_lesion: bool = True,
     connected_components: bool = False,

@@ -114,7 +114,7 @@ def sliding_window_probs_device(
     num_classes: int,
     window: Sequence[int] = (128, 128, 128),
     overlap: float = 0.5,
-    batch: int = 4,
+    batch: int = 8,
     organ_mask: Optional[np.ndarray] = None,
     blend: str = "uniform",
 ):
@@ -170,7 +170,7 @@ def sliding_window_inference(
     num_classes: int,
     window: Sequence[int] = (128, 128, 128),
     overlap: float = 0.5,
-    batch: int = 4,
+    batch: int = 8,
     organ_mask: Optional[np.ndarray] = None,
     blend: str = "uniform",
     out_dtype=np.float16,
