@@ -874,3 +874,41 @@ def test_few_shot_examples_and_input_formats(tmp_path, monkeypatch):
     monkeypatch.setattr(R.pd, "read_excel", fake_read_excel)
     got = R.read_reports(str(tmp_path / "reports.xlsx"), "Report Text")
     assert calls == [1, None] and len(got) == 3
+
+
+def test_summarize_phantom_partial(tmp_path):
+    """tools/summarize_phantom.py aggregates whatever per-seed result.json
+    files exist (a study interrupted mid-run stays reportable) and applies
+    the same pre-registered both-arms-degenerate exclusion as the full run
+    (tools/phantom_benchmark.py)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    rows = {
+        0: ({"lesion_dice": 0.6, "lesion_nsd": 0.7, "f1": 0.8,
+             "sensitivity": 0.75},
+            {"lesion_dice": 0.65, "lesion_nsd": 0.76, "f1": 0.85,
+             "sensitivity": 0.8}),
+        3: ({"lesion_dice": 0.01, "lesion_nsd": 0.02, "f1": 0.05,
+             "sensitivity": 0.04},
+            {"lesion_dice": 0.02, "lesion_nsd": 0.03, "f1": 0.06,
+             "sensitivity": 0.05}),  # degenerate in BOTH arms -> excluded
+    }
+    for s, (mo, rp) in rows.items():
+        d = tmp_path / f"seed{s}"
+        d.mkdir()
+        _json.dump({"mask_only": mo, "report": rp},
+                   open(d / "result.json", "w"))
+    out = subprocess.run(
+        [sys.executable, "tools/summarize_phantom.py", str(tmp_path)],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr
+    summary = _json.loads(out.stdout.splitlines()[0])
+    assert summary["seeds_found"] == 2
+    assert summary["seeds_kept"] == 1
+    assert summary["excluded_seeds"] == [3]
+    gain = summary["paired_gain"]["lesion_dice"]
+    assert abs(gain["mean"] - 0.05) < 1e-9
+    assert "raw_all_seeds" in summary  # raw aggregate reported alongside
