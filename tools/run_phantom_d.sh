@@ -16,7 +16,24 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 mkdir -p artifacts
-timeout 42000 python tools/phantom_benchmark.py \
+
+# The 5e loop_inline stage ran on a checkout where native/librsuper_native.so
+# had never been built (gitignored; fresh clone) — the loader silently fell
+# back to the Python packing path. Build it and take the deliverable
+# default-mode (overlap) loop number at HEAD before the long phantom run;
+# graphs are cached from the loop_inline stage so this is minutes.
+make -C native >/dev/null 2>&1 || true
+timeout 3600 python tools/bench_loop.py \
+  > artifacts/exp_loop_native_r5e.log 2>&1
+loop_rc=$?
+grep -E '^\{"metric"' artifacts/exp_loop_native_r5e.log | tail -2
+{ echo "## loop_native (rc=$loop_rc, commit $(git rev-parse --short HEAD), $(date +%H:%M:%S))"
+  grep -E '^\{"metric"' artifacts/exp_loop_native_r5e.log | tail -2
+  echo; } >> docs/results_r5e.md
+git add docs/results_r5e.md >/dev/null 2>&1
+git diff --cached --quiet || git commit -q -m "round5e chain: record native-loader loop measurement"
+
+timeout 38000 python tools/phantom_benchmark.py \
   --platform tpu --seeds 10 --seed 40 \
   --n_mask 2 --n_report 24 --n_test 128 --steps 300 \
   --contrast 0.18 1.6 --mask_contrast 1.45 1.6 --radius 2.5 5.0 \
