@@ -29,6 +29,14 @@ def _load() -> Optional[ctypes.CDLL]:
     try:
         lib = ctypes.CDLL(os.path.abspath(path))
     except OSError:
+        # the fallback is correct but ~8x slower per item; a silent fallback
+        # once went unnoticed through a whole benchmark batch
+        import logging
+
+        logging.getLogger("rsuper_tpu").warning(
+            "native/librsuper_native.so not found — using the slow Python "
+            "loader fallback (build it with `make -C native`)"
+        )
         return None
     i64 = ctypes.c_int64
     fp = ctypes.POINTER(ctypes.c_float)
